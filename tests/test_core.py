@@ -1,0 +1,227 @@
+"""Unit tests for the Spark-free semantic core (SURVEY.md §5 plan items 2, 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pii_redactor_spark.core import generators as gen
+from pii_redactor_spark.core.classify import classify_entity
+from pii_redactor_spark.core.detect import detect_spans
+from pii_redactor_spark.core.langid import classify_batch
+from pii_redactor_spark.core.quality import quality_flags_batch, trigram_lm
+from pii_redactor_spark.core.redact import (
+    adjust_boundaries,
+    redact_simple,
+    redact_typed,
+)
+from pii_redactor_spark.core.reference_impl import scrub_text
+
+
+# --- classification parity (src/inference.py:188-213) -----------------------
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("john.doe@example.com", "EMAIL"),
+        ("050-123-4567", "PHONE"),
+        ("123456789", "ID_NUMBER"),
+        ("123-45-6789", "ID_NUMBER"),  # SSN
+        ("4532-1234-5678-9012", "CREDIT_CARD"),
+        # Reference quirk preserved: its masked-card pattern starts with \b
+        # which never matches before a literal '*', so masked cards classify
+        # UNKNOWN (src/inference.py:176 — \b before a non-word char).
+        ("****-****-****-9012", "UNKNOWN"),
+        # Reference quirk: its plate generator emits XXX-XX-XXX but its
+        # classify pattern wants \d{2,3}-\d{3}-\d{2,3}, so that format falls
+        # through to UNKNOWN (mask unchanged — both take [REDACTED]).
+        ("123-45-678", "UNKNOWN"),
+        ("12-345-67", "LICENSE_PLATE"),
+        ("15/03/1985", "DATE_OF_BIRTH"),
+        ("12 במרץ 1985", "DATE_OF_BIRTH"),
+        ("אלון כהן", "NAME"),
+        ("John Doe", "NAME"),
+        ("John Michael Doe", "NAME"),
+        ("John Michael Van Doe", "UNKNOWN"),  # > 3 words
+        ("María García", "UNKNOWN"),  # accented chars fail [A-Za-z] fallback
+        ("AB1234567", "UNKNOWN"),  # passport: no classify pattern matches
+        ("הרצל 15, תל אביב", "UNKNOWN"),  # address
+        ("12-345-678901", "UNKNOWN"),  # Israeli bank account
+    ],
+)
+def test_classify_entity(text, expected):
+    assert classify_entity(text) == expected
+
+
+# --- boundary adjust matrix (simple_inference.py:149-180) --------------------
+def test_adjust_boundaries_text_span_trims_all_punct():
+    text = "(John Doe),"
+    assert adjust_boundaries(text, [(0, len(text))]) == [(1, 9)]
+
+
+def test_adjust_boundaries_digit_span_keeps_phone_chars():
+    text = "[050-123-4567]."
+    # Digit span: '[' and ']' and '.' trimmed, '-' kept.
+    assert adjust_boundaries(text, [(0, len(text))]) == [(1, 13)]
+
+
+def test_adjust_boundaries_drops_empty():
+    assert adjust_boundaries("...", [(0, 3)]) == []
+
+
+# --- splice order (inference.py:356-403; simple_inference.py:142-147) --------
+def test_redact_typed_masks_and_order():
+    text = "Call John Doe at john@x.com now"
+    spans = [(5, 13, "NAME"), (17, 27, "EMAIL")]
+    assert (
+        redact_typed(text, spans)
+        == "Call [NAME_REDACTED] at [EMAIL_REDACTED] now"
+    )
+
+
+def test_redact_typed_adjacent_spans():
+    text = "ab cd"
+    spans = [(0, 2, "UNKNOWN"), (3, 5, "UNKNOWN")]
+    assert redact_typed(text, spans) == "[REDACTED] [REDACTED]"
+
+
+def test_redact_simple_single_token_and_adjust():
+    text = "Call (John Doe) at john@x.com."
+    spans = [(5, 15, "NAME"), (19, 29, "EMAIL")]
+    # '(John Doe)' adjusts to 'John Doe'; trailing '.' not inside span.
+    assert redact_simple(text, spans) == "Call ([REDACTED]) at [REDACTED]."
+
+
+def test_redact_spans_at_string_edges():
+    text = "123456789 is my id, email a@b.co"
+    spans = [(0, 9, "ID_NUMBER"), (26, 32, "EMAIL")]
+    assert redact_typed(text, spans) == "[ID_REDACTED] is my id, email [EMAIL_REDACTED]"
+
+
+# --- detection ----------------------------------------------------------------
+def test_detect_structured_and_gazetteer():
+    text = "שמי אלון כהן ומספר תעודת הזהות שלי הוא 123456789"
+    spans = detect_spans(text)
+    found = {(text[s:e], t) for s, e, t in spans}
+    assert ("אלון כהן", "NAME") in found
+    assert ("123456789", "ID_NUMBER") in found
+
+
+def test_detect_address_wins_over_embedded_number():
+    text = "הכתובת של דוד לוי היא הרצל 15, תל אביב"
+    spans = detect_spans(text)
+    texts = [text[s:e] for s, e, _ in spans]
+    assert "הרצל 15, תל אביב" in texts
+    assert "דוד לוי" in texts
+
+
+def test_detect_latin_address_and_name():
+    text = "The address of John Smith is 123 Oak Street, Springfield"
+    spans = detect_spans(text)
+    got = {(text[s:e], t) for s, e, t in spans}
+    assert ("John Smith", "NAME") in got
+    assert ("123 Oak Street, Springfield", "ADDRESS") in got
+
+
+def test_detect_no_overlap():
+    text = "Contact John Smith at john.smith@example.com or call 555-123-4567"
+    spans = detect_spans(text)
+    for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+        assert e1 <= s2
+
+
+def test_detect_clean_text_yields_nothing():
+    assert detect_spans("I love programming in Python and my favorite library is NumPy") == []
+    assert detect_spans("אני אוהב לקרוא ספרים על אלגוריתמים ומבני נתונים") == []
+
+
+def test_luhn_generator_validity():
+    """Israeli ID generator satisfies its own Luhn checksum (F8)."""
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        idnum = gen.israeli_id(rng)
+        assert len(idnum) == 9
+        total = 0
+        for i, d in enumerate(int(c) for c in idnum[:8]):
+            if i % 2 == 0:
+                doubled = d * 2
+                total += doubled if doubled < 10 else doubled - 9
+            else:
+                total += d
+        assert (total + int(idnum[8])) % 10 == 0
+
+
+# --- langid -------------------------------------------------------------------
+def test_langid_on_template_languages():
+    samples = {
+        "he": "שמי אלון כהן ומספר תעודת הזהות שלי הוא 123456789",
+        "en": "My name is John Smith and my ID number is 123-45-6789",
+        "es": "Mi nombre es María García y mi número de ID es 123456789",
+        "fr": "Je m'appelle Pierre Dubois et mon numéro d'identification est 123456789",
+        "de": "Mein Name ist Hans Mueller und meine ID-Nummer ist 123456789",
+    }
+    langs, confs = classify_batch(list(samples.values()))
+    assert list(langs) == list(samples.keys())
+    assert (confs > 0.3).all()
+
+
+# --- quality ------------------------------------------------------------------
+def test_quality_keeps_templates_drops_junk():
+    good = [
+        "My name is John Smith and my ID number is 123-45-6789",
+        "אני עובד בחברת טכנולוגיה ומפתח אפליקציות ווב",
+        "Ich programmiere gerne in Python und meine Lieblingsbibliothek ist NumPy",
+    ]
+    junk = [
+        "@#$%^&* !!! ###$$$ %%%^^^ &&&***",       # symbol spam
+        "spam spam spam spam spam spam spam spam",  # repetitive
+        "ab",                                       # too short
+        "zxqj vqxkz jqzxv kxqzj vzxqk qjzxv wqkzx",  # gibberish
+    ]
+    flags, bpc, _ = quality_flags_batch(good + junk)
+    for f in flags[: len(good)]:
+        assert f == [], f
+    for f in flags[len(good):]:
+        assert f != []
+
+
+def test_trigram_lm_separates_in_domain_from_gibberish():
+    lm = trigram_lm()
+    scores = lm.bits_per_char(
+        ["My name is John Smith and my phone is 555-123-4567",
+         "zxqjv qxkzj qzxvk xqzjv zxqkq jzxvw qkzxx"]
+    )
+    assert scores[0] < scores[1] - 2.0
+
+
+def test_trigram_lm_batch_equals_single():
+    lm = trigram_lm()
+    texts = ["My name is John", "שמי אלון כהן", "zxq"]
+    batch = lm.bits_per_char(texts)
+    singles = [lm.bits_per_char([t])[0] for t in texts]
+    np.testing.assert_allclose(batch, singles, rtol=1e-12)
+
+
+# --- end-to-end row oracle -----------------------------------------------------
+def test_scrub_text_end_to_end():
+    r = scrub_text("My name is John Smith and my ID number is 123-45-6789")
+    assert r.lang == "en"
+    assert r.keep
+    assert r.has_pii
+    assert r.scrubbed == "My name is [NAME_REDACTED] and my ID number is [ID_REDACTED]"
+    assert r.scrubbed_simple == "My name is [REDACTED] and my ID number is [REDACTED]"
+    types = [e["entity_type"] for e in r.entities]
+    assert types == ["NAME", "ID_NUMBER"]
+
+
+def test_scrub_text_clean_negative():
+    r = scrub_text("This text contains no PII information, just regular content about technology and science.")
+    assert not r.has_pii
+    assert r.scrubbed == r.scrubbed_simple
+    assert r.entities == []
+
+
+def test_scrub_text_empty_guard():
+    r = scrub_text("")
+    assert not r.keep
+    assert r.entities == []
+    assert r.scrubbed == ""
