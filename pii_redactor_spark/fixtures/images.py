@@ -1,0 +1,185 @@
+"""The synthetic image+caption table and its oracle labels table.
+
+Schema per BASELINE.json ``input_hint``:
+``(image_id string, bytes binary, w int, h int, fmt string, caption string,
+phash long)`` plus the derived partition column ``phash_prefix``.
+
+Generation is distributed (``mapInPandas`` over ``spark.range``) and keyed per
+row, so any executor count yields identical bytes.  The oracle table records
+expected outputs computed from the *true* generation-time spans through the
+reference's semantics (classify -> mask/splice; boundary-adjust for the simple
+variant) — the engine must re-discover those spans at F1 >= 0.99 and match the
+scrubbed captions byte-for-byte (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..core.classify import classify_entity
+from ..core.quality import DEFAULT_QUALITY, quality_flags_batch
+from ..core.redact import redact_simple, redact_typed
+from .captions import CaptionConfig, make_caption, rng_for
+from .codecs import encode_lossy, encode_png, phash64, phash_prefix
+
+_SIZES = [16, 24, 32, 48, 64]
+LOSSY_RATIO = 0.2  # FIXTURES.md §1: 20% of rows take the lossy path
+
+
+def make_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic raster: oriented gradient + 2-D wave field + noise.
+
+    Diversity matters: phash is a *perceptual* average-hash, and the pipeline
+    partitions by its top bits — a homogeneous generator (e.g. one fixed
+    gradient direction) collapses every image into a handful of prefixes.
+    Random orientation, per-channel polarity and wave frequency spread the
+    8x8 block-mean pattern so prefixes distribute like real-world corpora.
+    """
+    gx = np.linspace(-1, 1, w, dtype=np.float64)
+    gy = np.linspace(-1, 1, h, dtype=np.float64)
+    theta = rng.uniform(0, 2 * np.pi)
+    base = np.cos(theta) * gx[None, :] + np.sin(theta) * gy[:, None]
+    fx, fy = rng.uniform(1.0, 9.0, size=2)
+    px, py = rng.uniform(0, 2 * np.pi, size=2)
+    wave = np.sin(fx * np.pi * gx[None, :] + px) * np.sin(
+        fy * np.pi * gy[:, None] + py
+    )
+    img = np.empty((h, w, 3), dtype=np.float64)
+    for ch in range(3):
+        polarity = 1.0 if rng.random() < 0.5 else -1.0
+        mix = rng.uniform(0.3, 0.7)
+        offset = rng.uniform(80, 175)
+        img[:, :, ch] = offset + polarity * 70.0 * (
+            mix * base + (1 - mix) * wave
+        )
+    img += rng.normal(0, 12.0, size=(h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def generate_image_row(image_id: str, cfg: CaptionConfig) -> dict:
+    """One row of the images table + caption ground truth (no labels yet)."""
+    rng = rng_for(image_id + "#img")
+    w = int(_SIZES[rng.integers(0, len(_SIZES))])
+    h = int(_SIZES[rng.integers(0, len(_SIZES))])
+    pixels = make_pixels(rng, w, h)
+    lossy = rng.random() < LOSSY_RATIO
+    data = encode_lossy(pixels) if lossy else encode_png(pixels)
+    ph = phash64(pixels)
+    cap = make_caption(image_id, cfg)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": "jpeg" if lossy else "png",
+        "caption": cap["caption"],
+        "phash": ph,
+        "phash_prefix": phash_prefix(ph),
+        "_lang": cap["lang"],
+        "_kind": cap["kind"],
+        "_entities": cap["entities"],
+    }
+
+
+def label_rows(rows: list[dict]) -> list[dict]:
+    """Oracle labels for a batch of generated rows (true-span semantics)."""
+    captions = [r["caption"] for r in rows]
+    flags, bpc, _ = quality_flags_batch(captions, DEFAULT_QUALITY)
+    out = []
+    for r, f in zip(rows, flags):
+        text = r["caption"]
+        entities = [
+            {**e, "entity_type": classify_entity(e["text"])}
+            for e in r["_entities"]
+        ]
+        spans = [(e["start"], e["end"], e["entity_type"]) for e in entities]
+        scrubbed = redact_typed(text, spans)
+        out.append(
+            {
+                "image_id": r["image_id"],
+                "lang_expected": r["_lang"] if r["_kind"] == "template" else None,
+                "kind": r["_kind"],
+                "keep_expected": not f,
+                "has_pii_expected": scrubbed != text,
+                "scrubbed_expected": scrubbed,
+                "scrubbed_expected_simple": redact_simple(text, spans),
+                "entities": entities,
+            }
+        )
+    return out
+
+
+def generate_batch(
+    ids: list[str], cfg: CaptionConfig
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(images, labels) pandas frames for a list of image_ids."""
+    rows = [generate_image_row(i, cfg) for i in ids]
+    labels = label_rows(rows)
+    img_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "phash_prefix"]
+    images = pd.DataFrame([{k: r[k] for k in img_cols} for r in rows])
+    return images, pd.DataFrame(labels)
+
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, phash_prefix int"
+)
+LABELS_SCHEMA = (
+    "image_id string, lang_expected string, kind string, "
+    "keep_expected boolean, has_pii_expected boolean, "
+    "scrubbed_expected string, scrubbed_expected_simple string, "
+    "entities array<struct<entity_type:string, text:string, start:int, end:int>>"
+)
+
+
+def write_fixture_tables(
+    spark,
+    out_dir: str,
+    n_rows: int,
+    cfg: CaptionConfig = CaptionConfig(),
+    partitions: int | None = None,
+) -> tuple[str, str]:
+    """Distributed fixture generation: images + labels parquet under out_dir.
+
+    Images are written ``partitionBy(phash_prefix)`` — the Iceberg-style
+    layout the pipeline consumes.  Returns (images_path, labels_path).
+    """
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    base = spark.range(0, n_rows, 1, parts)
+
+    def gen_images(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            ids = [f"img{int(i):012d}" for i in pdf["id"]]
+            images, _ = generate_batch(ids, cfg)
+            yield images
+
+    def gen_labels(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            ids = [f"img{int(i):012d}" for i in pdf["id"]]
+            _, labels = generate_batch(ids, cfg)
+            labels["entities"] = labels["entities"].map(
+                lambda es: [
+                    (e["entity_type"], e["text"], e["start"], e["end"])
+                    for e in es
+                ]
+            )
+            yield labels
+
+    images_path = f"{out_dir}/images"
+    labels_path = f"{out_dir}/labels"
+    (
+        base.mapInPandas(gen_images, schema=IMAGES_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("phash_prefix")
+        .parquet(images_path)
+    )
+    (
+        base.mapInPandas(gen_labels, schema=LABELS_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(labels_path)
+    )
+    return images_path, labels_path

@@ -1,0 +1,139 @@
+"""The scrub stage: one Arrow-vectorized pandas UDF, one narrow pass.
+
+Spark re-expression of the reference's flagship path
+(``PIIRedactor.redact``, ``/root/reference/src/inference.py:356-403`` →
+SURVEY.md §3.1): the whole langid -> quality -> detect -> classify -> splice
+chain is a single ``Iterator[pd.Series] -> Iterator[pd.DataFrame]`` scalar
+pandas UDF.  Consequences at scale:
+
+* Only the caption column crosses the JVM<->Python Arrow boundary — image
+  ``bytes`` stay JVM-side and are zipped back positionally by the
+  ArrowEvalPython node (verify with ``.explain``: the UDF's input is just
+  ``caption``).  No shuffle, no join to re-attach bytes.
+* The iterator form amortizes per-worker init (compiled regexes, trigram LM)
+  across all batches of a partition — the lazy-singleton pattern the reference
+  needed but lacked (its BatchProcessor still ran rows one at a time,
+  inference.py:500-508).
+* Unlike the reference's ``redact_with_info`` which runs inference twice
+  (inference.py:420-421), everything is computed once and emitted as one
+  struct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..core.classify import classify_entity
+from ..core.detect import detect_spans
+from ..core.langid import classify_batch
+from ..core.quality import DEFAULT_QUALITY, quality_flags_batch
+from ..core.redact import redact_simple, redact_typed
+
+# Built as objects (not a DDL string) so the module imports without an
+# active SparkSession.
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ENTITY_TYPE = StructType(
+    [
+        StructField("entity_type", StringType()),
+        StructField("text", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+    ]
+)
+SCRUB_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("lang_conf", DoubleType()),
+        StructField("bits_per_char", DoubleType()),
+        StructField("n_chars", IntegerType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("quality_flags", ArrayType(StringType())),
+        StructField("keep", BooleanType()),
+        StructField("entities", ArrayType(ENTITY_TYPE)),
+        StructField("scrubbed", StringType()),
+        StructField("scrubbed_simple", StringType()),
+        StructField("has_pii", BooleanType()),
+    ]
+)
+
+
+def scrub_batch(texts: list[str]) -> pd.DataFrame:
+    """Vectorized scrub of one Arrow batch of captions."""
+    langs, confs = classify_batch(texts)
+    flags, bpc, metrics = quality_flags_batch(texts, DEFAULT_QUALITY)
+
+    entities_col: list[list[tuple]] = []
+    scrubbed_col: list[str] = []
+    simple_col: list[str] = []
+    has_pii_col: list[bool] = []
+    for text in texts:
+        spans = detect_spans(text)
+        ents = [
+            (classify_entity(text[s:e]), text[s:e], s, e) for s, e, _ in spans
+        ]
+        typed = [(s, e, t) for (t, _, s, e) in ents]
+        scrubbed = redact_typed(text, typed)
+        entities_col.append(ents)
+        scrubbed_col.append(scrubbed)
+        simple_col.append(redact_simple(text, typed))
+        has_pii_col.append(scrubbed != text)
+
+    return pd.DataFrame(
+        {
+            "lang": langs,
+            "lang_conf": confs,
+            "bits_per_char": bpc,
+            "n_chars": metrics["n_chars"],
+            "n_tokens": metrics["n_tokens"],
+            "quality_flags": flags,
+            "keep": [not f for f in flags],
+            "entities": entities_col,
+            "scrubbed": scrubbed_col,
+            "scrubbed_simple": simple_col,
+            "has_pii": has_pii_col,
+        }
+    )
+
+
+@pandas_udf(SCRUB_SCHEMA)
+def _scrub_udf_impl(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    # Per-executor-process init happens on first use (regexes are compiled at
+    # module import; the trigram LM builds lazily inside quality_flags_batch)
+    # and is reused across every batch this worker sees.
+    for series in batches:
+        yield scrub_batch(series.fillna("").tolist())
+
+
+# Semantically deterministic, but marked nondeterministic on purpose: a plan
+# that filters on `keep` AND projects `scrubbed` would otherwise evaluate the
+# UDF twice (Catalyst duplicates deterministic Python UDFs across the
+# Filter/Project boundary — verified with .explain: two ArrowEvalPython
+# nodes vs one after this marking).  The reference makes the same class of
+# mistake in reverse (redact_with_info runs inference twice,
+# inference.py:420-421); we refuse to pay it.
+scrub_udf = _scrub_udf_impl.asNondeterministic()
+
+
+def scrub_expr(caption_col: str = "caption") -> Column:
+    return scrub_udf(F.col(caption_col))
+
+
+def with_scrub(df: DataFrame, caption_col: str = "caption") -> DataFrame:
+    """Attach scrub results as flat columns; bytes never leave the JVM."""
+    return df.withColumn("_scrub", scrub_expr(caption_col)).select(
+        "*", "_scrub.*"
+    ).drop("_scrub")

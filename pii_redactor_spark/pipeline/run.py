@@ -1,0 +1,159 @@
+"""The flagship job: quality-filter + PII-scrub over the image+caption table.
+
+Physical plan (SURVEY.md §4): one narrow stage —
+
+    FileScan(parquet, pruned) -> [optional salted repartition]
+      -> ArrowEvalPython(scrub_udf over caption only)
+      -> Project -> write partitionBy(phash_prefix, keep)
+
+* Zero shuffles in the default path; the optional salt repartition is the one
+  deliberate shuffle, for caption-length / language heavy-hitter skew
+  (north-star: "salted repartitioning and AQE").
+* Output is partitioned by ``(phash_prefix, keep)`` so downstream consumers
+  read kept rows with pure partition pruning and the dropped fraction costs
+  one directory, not a scan.
+* Resume: work proceeds in groups of ``phash_prefix`` partitions.  Each group
+  is written with dynamic partition overwrite (idempotent), then lineage rows
+  + counters are appended and a manifest snapshot committed.  On restart,
+  committed prefixes are skipped (anti-join semantics, SURVEY.md §2.10 — here
+  the lineage table is tiny so the driver filters the todo list directly;
+  on a 10^12-row table the same contract is
+  ``input.join(lineage, "part_id", "left_anti")``).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scrub import with_scrub
+from ..sources import storage
+
+DECISION_COLS = [
+    "image_id", "phash_prefix", "lang", "lang_conf", "bits_per_char",
+    "n_chars", "n_tokens", "quality_flags", "keep", "has_pii", "n_entities",
+]
+
+
+def scrub_images(
+    df: DataFrame,
+    salt_partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Scrub transform: optional salted repartition, then the UDF stage.
+
+    ``salt_partitions``: when set, repartition by (phash_prefix, salt) to
+    break heavy-hitter buckets before the CPU-bound UDF.  At cluster scale
+    pick ~4x executor-cores; leave None for the shuffle-free narrow plan.
+    """
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.col("phash_prefix"),
+            (F.rand(seed) * 16).cast("int"),
+        )
+    scrubbed = with_scrub(df)
+    return scrubbed.withColumn("n_entities", F.size("entities"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images_path: str,
+    out_dir: str,
+    prefixes_per_commit: int = 64,
+    salt_partitions: int | None = None,
+    fail_after_groups: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Resumable batch run.  Returns summary counters.
+
+    ``fail_after_groups`` injects a crash after N committed groups (for the
+    resume test, FIXTURES.md §4).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    data_path = f"{out_dir}/data"
+    metrics_path = f"{out_dir}/metrics"
+
+    src = storage.read_table(spark, images_path)
+    all_prefixes = sorted(
+        r[0] for r in src.select("phash_prefix").distinct().collect()
+    )
+    done = storage.committed_parts(data_path)
+    todo = [p for p in all_prefixes if p not in done]
+
+    groups = [
+        todo[i:i + prefixes_per_commit]
+        for i in range(0, len(todo), prefixes_per_commit)
+    ]
+    total = {"n_in": 0, "n_kept": 0, "n_dropped": 0, "n_entities": 0}
+
+    for gi, group in enumerate(groups):
+        if fail_after_groups is not None and gi >= fail_after_groups:
+            raise RuntimeError(f"injected failure before group {gi}")
+
+        part = src.where(F.col("phash_prefix").isin(group))
+        result = scrub_images(part, salt_partitions=salt_partitions)
+        out = (
+            result.withColumn("caption_raw", F.col("caption"))
+            .withColumn("caption", F.col("scrubbed"))
+            # Partition dirs carry an int 0/1 (partition-column values read
+            # back as strings; booleans don't round-trip) while `keep` stays
+            # a typed data column.
+            .withColumn("keep_part", F.col("keep").cast("int"))
+        )
+        storage.write_partitioned(out, data_path, ["phash_prefix", "keep_part"])
+
+        # Counters from the *written* data (column-pruned read; never re-runs
+        # the UDF and never touches bytes).
+        written = storage.read_table(spark, data_path).where(
+            F.col("phash_prefix").isin(group)
+        )
+        counters = (
+            written.groupBy("phash_prefix")
+            .agg(
+                F.count("*").alias("n_in"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+                F.sum("n_entities").alias("n_entities"),
+            )
+        )
+        lineage = counters.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("scrub").alias("stage"),
+            F.col("phash_prefix").alias("part_id"),
+            "n_in", "n_kept", "n_dropped", "n_entities",
+            F.current_timestamp().alias("committed_at"),
+        )
+        storage.append_table(lineage, metrics_path)
+
+        agg = counters.agg(
+            F.sum("n_in"), F.sum("n_kept"), F.sum("n_dropped"),
+            F.sum("n_entities"),
+        ).collect()[0]
+        group_counters = {
+            "n_in": int(agg[0] or 0), "n_kept": int(agg[1] or 0),
+            "n_dropped": int(agg[2] or 0), "n_entities": int(agg[3] or 0),
+        }
+        for k in total:
+            total[k] += group_counters[k]
+        # Commit point: manifest snapshot AFTER data + lineage both landed.
+        storage.commit_snapshot(data_path, group, group_counters, run_id)
+
+    return {
+        "run_id": run_id, "prefixes": len(all_prefixes),
+        "resumed_skipped": len(done), "processed_groups": len(groups),
+        **total,
+    }
+
+
+def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Partition-pruned read of kept rows (keep_part is a partition dir)."""
+    return storage.read_table(spark, f"{out_dir}/data").where(
+        F.col("keep_part") == 1
+    )
+
+
+def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
+    return storage.read_table(spark, f"{out_dir}/data").select(*DECISION_COLS)

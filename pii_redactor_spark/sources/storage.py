@@ -1,0 +1,88 @@
+"""Storage layer: Iceberg-semantics on plain Parquet (swap point).
+
+The north-star targets Iceberg tables.  No Iceberg runtime jar is guaranteed
+in this sandbox (no network), so this module provides the identical semantics
+on a Parquet layout (SURVEY.md §1.3):
+
+* partitioned writes (``partitionBy``) with *dynamic* partition overwrite —
+  re-processing a partition replaces exactly that partition (idempotent
+  resume), like an Iceberg ``overwritePartitions``;
+* a JSON manifest standing in for Iceberg snapshot metadata: committed
+  partition ids + counters, written atomically (tmp + rename) *after* the data
+  write succeeds — the commit point;
+* one read/write API so swapping in ``spark.read.format("iceberg")`` /
+  ``df.writeTo(tbl)`` is a one-module change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], overwrite_dynamic: bool = True
+) -> None:
+    writer = df.write.partitionBy(*partition_cols)
+    if overwrite_dynamic:
+        writer = writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        writer = writer.mode("append")
+    writer.parquet(path)
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+# --- Manifest (Iceberg snapshot stand-in) -----------------------------------
+
+def manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, "_manifest.json")
+
+
+def read_manifest(table_path: str) -> dict:
+    p = manifest_path(table_path)
+    if not os.path.exists(p):
+        return {"snapshots": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_snapshot(table_path: str, committed_parts: list[int],
+                    counters: dict, run_id: str) -> dict:
+    """Append a snapshot entry; atomic via tmp+rename (single-FS sandbox)."""
+    manifest = read_manifest(table_path)
+    manifest["snapshots"].append(
+        {
+            "snapshot_id": len(manifest["snapshots"]) + 1,
+            "run_id": run_id,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "parts": sorted(committed_parts),
+            "counters": counters,
+        }
+    )
+    os.makedirs(table_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=table_path, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path(table_path))
+    return manifest
+
+
+def committed_parts(table_path: str) -> set[int]:
+    manifest = read_manifest(table_path)
+    parts: set[int] = set()
+    for snap in manifest["snapshots"]:
+        parts.update(snap["parts"])
+    return parts

@@ -1,0 +1,109 @@
+"""Fixture tests: codec integrity, determinism, span ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pii_redactor_spark.core.detect import detect_spans
+from pii_redactor_spark.fixtures.captions import CaptionConfig, make_caption, rng_for
+from pii_redactor_spark.fixtures.codecs import (
+    decode_image,
+    decode_lossy,
+    decode_png,
+    encode_lossy,
+    encode_png,
+    phash64,
+    phash_prefix,
+    psnr,
+)
+from pii_redactor_spark.fixtures.images import generate_batch, make_pixels
+
+
+def test_png_roundtrip_lossless():
+    rng = np.random.default_rng(1)
+    px = make_pixels(rng, 33, 17)  # non-multiple-of-8 sizes too
+    out = decode_png(encode_png(px))
+    np.testing.assert_array_equal(px, out)
+
+
+def test_lossy_roundtrip_psnr_above_40db():
+    rng = np.random.default_rng(2)
+    px = make_pixels(rng, 64, 64)
+    recon = decode_lossy(encode_lossy(px))
+    value = psnr(px, recon)
+    assert value >= 40.0, value
+    assert value != float("inf")  # it IS lossy
+
+
+def test_psnr_identical_is_inf():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    assert psnr(px, px) == float("inf")
+
+
+def test_phash_deterministic_and_discriminative():
+    rng = np.random.default_rng(3)
+    a = make_pixels(rng, 32, 32)
+    b = make_pixels(rng, 32, 32)
+    assert phash64(a) == phash64(a)
+    assert phash64(a) != phash64(b)
+    assert 0 <= phash_prefix(phash64(a)) < 256
+
+
+def test_rng_keyed_by_id_not_order():
+    r1 = make_caption("img000000000042")
+    r2 = make_caption("img000000000042")
+    assert r1 == r2
+    assert make_caption("img000000000043") != r1
+
+
+def test_caption_spans_are_exact():
+    """True spans must slice to the recorded entity text."""
+    for i in range(300):
+        cap = make_caption(f"img{i:012d}")
+        for e in cap["entities"]:
+            assert cap["caption"][e["start"]:e["end"]] == e["text"]
+
+
+def test_detection_recovers_true_spans():
+    """The rules engine must find exactly the generated spans on template rows."""
+    mism = 0
+    total = 0
+    for i in range(400):
+        cap = make_caption(f"img{i:012d}")
+        if cap["kind"] != "template":
+            continue
+        truth = {(e["start"], e["end"]) for e in cap["entities"]}
+        found = {(s, e) for s, e, _ in detect_spans(cap["caption"])}
+        total += max(len(truth), 1)
+        if truth != found:
+            mism += 1
+    assert mism == 0, f"{mism} caption(s) with span mismatch"
+
+
+def test_generate_batch_images_and_labels():
+    images, labels = generate_batch([f"img{i:012d}" for i in range(50)],
+                                    CaptionConfig())
+    assert len(images) == len(labels) == 50
+    assert set(images.columns) >= {"image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash", "phash_prefix"}
+    # pixels decode and match declared dims
+    for _, row in images.head(10).iterrows():
+        px = decode_image(row["bytes"], row["fmt"])
+        assert px.shape == (row["h"], row["w"], 3)
+    # junk rows are dropped, template rows kept
+    joined = images.merge(labels, on="image_id")
+    junk = joined[joined["kind"] == "junk"]
+    assert (~junk["keep_expected"]).all()
+    tmpl = joined[joined["kind"] == "template"]
+    assert tmpl["keep_expected"].mean() > 0.95
+
+
+def test_labels_scrub_consistent_with_truth():
+    _, labels = generate_batch([f"img{i:012d}" for i in range(100, 200)],
+                               CaptionConfig())
+    for _, row in labels.iterrows():
+        if row["kind"] == "template" and not row["entities"]:
+            assert not row["has_pii_expected"]
+        if row["has_pii_expected"]:
+            assert "[" in row["scrubbed_expected"]

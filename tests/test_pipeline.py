@@ -1,0 +1,150 @@
+"""End-to-end pipeline tests: the acceptance gates from BASELINE.md.
+
+* keep/drop + scrub F1 >= 0.99 vs oracle labels
+* caption byte-equality (typed + simple variants)
+* image integrity: bytes pass through untouched; decoded PSNR >= 40 dB
+* resume: crash after k commits, restart, full coverage, no duplicates
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.fixtures.captions import CaptionConfig
+from pii_redactor_spark.fixtures.codecs import decode_image, psnr
+from pii_redactor_spark.fixtures.images import write_fixture_tables
+from pii_redactor_spark.pipeline.run import read_kept, run_pipeline
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="session")
+def fixture_tables(spark, tmp_root):
+    images_path, labels_path = write_fixture_tables(
+        spark, f"{tmp_root}/fx", N_ROWS, CaptionConfig(), partitions=16
+    )
+    return images_path, labels_path
+
+
+@pytest.fixture(scope="session")
+def pipeline_out(spark, tmp_root, fixture_tables):
+    images_path, labels_path = fixture_tables
+    out = f"{tmp_root}/out"
+    summary = run_pipeline(spark, images_path, out, prefixes_per_commit=300)
+    return out, labels_path, summary
+
+
+def _f1(tp: int, fp: int, fn: int) -> float:
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * p * r / (p + r) if p + r else 0.0
+
+
+def test_fixture_row_count(spark, fixture_tables):
+    images_path, labels_path = fixture_tables
+    assert spark.read.parquet(images_path).count() == N_ROWS
+    assert spark.read.parquet(labels_path).count() == N_ROWS
+
+
+def test_keep_drop_f1(spark, pipeline_out):
+    out, labels_path, summary = pipeline_out
+    assert summary["n_in"] == N_ROWS
+    data = spark.read.parquet(f"{out}/data")
+    labels = spark.read.parquet(labels_path)
+    joined = data.join(labels, "image_id")
+    agg = joined.agg(
+        F.sum((F.col("keep") & F.col("keep_expected")).cast("long")).alias("tp"),
+        F.sum((F.col("keep") & ~F.col("keep_expected")).cast("long")).alias("fp"),
+        F.sum((~F.col("keep") & F.col("keep_expected")).cast("long")).alias("fn"),
+    ).collect()[0]
+    f1 = _f1(agg["tp"], agg["fp"], agg["fn"])
+    assert f1 >= 0.99, f"keep/drop F1 {f1}"
+
+
+def test_scrub_byte_equality(spark, pipeline_out):
+    out, labels_path, _ = pipeline_out
+    data = spark.read.parquet(f"{out}/data")
+    labels = spark.read.parquet(labels_path)
+    joined = data.join(labels, "image_id")
+    bad = joined.where(
+        (F.col("scrubbed") != F.col("scrubbed_expected"))
+        | (F.col("scrubbed_simple") != F.col("scrubbed_expected_simple"))
+    )
+    n_bad = bad.count()
+    if n_bad:
+        for r in bad.select("caption_raw", "scrubbed", "scrubbed_expected").head(5):
+            print("RAW   :", r[0])
+            print("GOT   :", r[1])
+            print("WANT  :", r[2])
+    assert n_bad == 0
+
+
+def test_entity_level_f1(spark, pipeline_out):
+    out, labels_path, _ = pipeline_out
+    data = spark.read.parquet(f"{out}/data")
+    labels = spark.read.parquet(labels_path)
+    pred = data.select(
+        "image_id", F.explode_outer("entities").alias("e")
+    ).select("image_id", "e.start", "e.end")
+    truth = labels.select(
+        "image_id", F.explode_outer("entities").alias("e")
+    ).select("image_id", "e.start", "e.end")
+    tp = pred.join(truth, ["image_id", "start", "end"], "inner").count()
+    fp = pred.join(truth, ["image_id", "start", "end"], "left_anti").where(
+        F.col("start").isNotNull()
+    ).count()
+    fn = truth.join(pred, ["image_id", "start", "end"], "left_anti").where(
+        F.col("start").isNotNull()
+    ).count()
+    f1 = _f1(tp, fp, fn)
+    assert f1 >= 0.99, f"entity F1 {f1} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_image_bytes_untouched_and_psnr(spark, pipeline_out, fixture_tables):
+    out, _, _ = pipeline_out
+    images_path, _ = fixture_tables
+    kept = read_kept(spark, out).select("image_id", "bytes", "fmt")
+    orig = spark.read.parquet(images_path).select(
+        "image_id", F.col("bytes").alias("bytes_orig")
+    )
+    sample = kept.join(orig, "image_id").limit(50).collect()
+    assert sample
+    for row in sample:
+        assert bytes(row["bytes"]) == bytes(row["bytes_orig"])  # passthrough
+        px_before = decode_image(bytes(row["bytes_orig"]), row["fmt"])
+        px_after = decode_image(bytes(row["bytes"]), row["fmt"])
+        assert psnr(px_before, px_after) == float("inf")
+
+
+def test_lineage_counters_match(spark, pipeline_out):
+    out, _, summary = pipeline_out
+    metrics = spark.read.parquet(f"{out}/metrics")
+    agg = metrics.agg(
+        F.sum("n_in"), F.sum("n_kept"), F.sum("n_dropped")
+    ).collect()[0]
+    assert int(agg[0]) == summary["n_in"] == N_ROWS
+    assert int(agg[1]) == summary["n_kept"]
+    assert int(agg[2]) == summary["n_dropped"]
+    assert summary["n_kept"] + summary["n_dropped"] == N_ROWS
+    # sane drop rate given ~12% injected junk
+    assert 0.05 < summary["n_dropped"] / N_ROWS < 0.25
+
+
+def test_resume_after_crash(spark, tmp_root, fixture_tables):
+    images_path, _ = fixture_tables
+    out = f"{tmp_root}/out_resume"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, images_path, out, prefixes_per_commit=20,
+            fail_after_groups=1,
+        )
+    partial = spark.read.parquet(f"{out}/data").count()
+    assert 0 < partial < N_ROWS
+    summary = run_pipeline(spark, images_path, out, prefixes_per_commit=20)
+    assert summary["resumed_skipped"] > 0
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == N_ROWS
+    dupes = data.groupBy("image_id").count().where(F.col("count") > 1).count()
+    assert dupes == 0
