@@ -1,38 +1,701 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship quality-filter + scrub over the sf0.001
+``documents`` table.  ``queries()`` exposes the operator inventory from
+SURVEY.md §2 (scans, filters, projections, hash/broadcast joins, aggregations,
+windows, sorts/limits, set ops, string/date/regex functions) plus the
+training-data-pipeline operators (exact/near dedup, embedding similarity,
+text analysis).  Every query aliases computed columns identically to its
+``oracle_sql()`` DuckDB statement.
+
+Queries without an oracle entry (suffix ``_nosql``) are genuinely
+non-SQL-expressible here (seeded LSH bucketing, UDF-backed scrubbing) and get
+the driver's rows-only check; their semantics are pinned by pytest instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: quality-filter + PII-scrub over documents (sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pii_redactor_spark.operators.scrub import scrub_udf
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    scrubbed = docs.withColumn("_s", scrub_udf(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        F.col("_s.lang").alias("lang_detected"),
+        F.col("_s.keep").alias("keep"),
+        F.col("_s.bits_per_char").alias("bits_per_char"),
+        F.size("_s.entities").alias("n_entities"),
+        F.col("_s.scrubbed").alias("scrubbed"),
+    )
+    return scrubbed
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (TPC-H-ish, idiomatic DataFrame API)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg with partial aggregation."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, top-10 with deterministic tiebreak."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with broadcast dims, group by nation."""
+    region = F.broadcast(_t(spark, sf, "region"))
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Window ranking: top-3 customers by acctbal per nation."""
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "rnk",
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_orders_with_discounted_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join: order counts by priority where a discounted item exists."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation per segment."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_customer_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations: buyers minus big spenders, intersected with AUTOMOBILE."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    buyers = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    big = (
+        orders.where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        buyers.exceptAll(big).intersect(auto)
+        .agg(F.count("*").alias("n_custs"))
+    )
+
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sort + limit with tiebreak."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .limit(20)
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup grouping sets over (year, priority)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_quantity_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE/bucketing scalar logic + agg."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.withColumn("qty_bucket", F.floor(F.col("l_quantity") / 10).cast("int"))
+        .groupBy("qty_bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: date/time functions + windows
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("hour", F.hour("ts"))
+        .groupBy("day", "hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_events_user_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Window lag: average seconds between consecutive events per user."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "gap_s",
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("prev_ts").cast("timestamp").cast("double"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
+
+
+def q_events_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding frame: per-user running sum of value (rowsBetween)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis, regex, dedup
+# ---------------------------------------------------------------------------
+
+def q_doc_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace) + distinct-token ratio per language."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.withColumn("tokens", F.split("text", " "))
+    return (
+        toks.withColumn("n_tokens", F.size("tokens"))
+        .withColumn("n_distinct", F.size(F.array_distinct("tokens")))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(
+                F.avg(F.col("n_distinct") / F.col("n_tokens")), 4
+            ).alias("avg_distinct_ratio"),
+        )
+    )
+
+
+def q_doc_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-expressible slice of the quality ruleset: length + repetition."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.withColumn("tokens", F.split("text", " "))
+    flagged = toks.withColumn(
+        "keep",
+        (F.col("n_chars") >= 50)
+        & (F.col("n_chars") <= 500)
+        & (
+            F.size(F.array_distinct("tokens")) / F.size("tokens") >= 0.3
+        ),
+    )
+    return flagged.groupBy("lang", "keep").agg(F.count("*").alias("n_docs"))
+
+
+def q_doc_regex_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex extraction counts (the engine's PII-detection shape on testdata)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn(
+            "n_hits", F.size(F.regexp_extract_all("text", F.lit(r"\b(join|merge)\b"), 0))
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_hits").alias("total_hits"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("docs_with_hits"),
+        )
+    )
+
+
+def q_doc_redaction_changed(spark: SparkSession, sf: str) -> DataFrame:
+    """P11 predicate: did redaction change the text (regexp_replace form)."""
+    docs = _t(spark, sf, "documents")
+    red = docs.withColumn(
+        "redacted", F.regexp_replace("text", r"\bspark\b", "[REDACTED]")
+    )
+    return red.groupBy("lang").agg(
+        F.sum((F.col("text") != F.col("redacted")).cast("long")).alias(
+            "n_changed"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash: groups with >1 member."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("fp", F.md5("text"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .agg(
+            F.count("*").alias("dup_groups"),
+            F.coalesce(F.sum("n_copies"), F.lit(0)).alias("dup_docs"),
+        )
+    )
+
+
+def q_doc_minhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup bucketing: 1-perm MinHash over word 3-gram shingles.
+
+    Signature = lexicographic min of md5(shingle) — identical in Spark and
+    DuckDB, so the oracle can check the full shingle->minhash->bucket chain.
+    """
+    docs = _t(spark, sf, "documents")
+    toks = docs.withColumn("tokens", F.split("text", " "))
+    shingled = toks.withColumn(
+        "sig",
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - 3),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.col("tokens")[i],
+                        F.col("tokens")[i + 1],
+                        F.col("tokens")[i + 2],
+                    )
+                ),
+            )
+        ),
+    ).where(F.size("tokens") >= 3)
+    return (
+        shingled.groupBy("sig")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector.
+
+    JVM-side arithmetic via higher-order functions (zip_with + aggregate) —
+    no Python UDF in the scoring loop.
+    """
+    emb = _t(spark, sf, "embeddings")
+    qvec = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    scored = emb.crossJoin(qvec).where(F.col("vec_id") != 0)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    return (
+        scored.withColumn(
+            "cosine",
+            dot(F.col("embedding"), F.col("qv"))
+            / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        )
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid norm — array aggregation across rows."""
+    emb = _t(spark, sf, "embeddings")
+    # Explode to (label, dim, value), average per dim, re-aggregate norm.
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.avg("v").alias("mean_v"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.count("*").alias("n_dims"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible (rows-only check; semantics pinned by pytest)
+# ---------------------------------------------------------------------------
+
+def q_doc_scrub_nosql(spark: SparkSession, sf: str) -> DataFrame:
+    """Full engine scrub over documents (UDF payload: langid/quality/PII)."""
+    from pii_redactor_spark.operators.scrub import scrub_udf
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("_s", scrub_udf(F.col("text")))
+        .select(
+            "lang",
+            F.col("_s.keep").alias("keep"),
+            F.col("_s.lang").alias("lang_detected"),
+        )
+        .groupBy("lang", "keep", "lang_detected")
+        .count()
+    )
+
+
+def q_embedding_lsh_nosql(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: seeded random-hyperplane LSH bucket histogram."""
+    from pii_redactor_spark.operators.similarity import lsh_bucket_histogram
+
+    return lsh_bucket_histogram(_t(spark, sf, "embeddings"), n_planes=8, seed=42)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "orders_with_discounted_items": q_orders_with_discounted_items,
+        "distinct_customers": q_distinct_customers,
+        "customer_set_ops": q_customer_set_ops,
+        "top_orders": q_top_orders,
+        "revenue_rollup": q_revenue_rollup,
+        "quantity_histogram": q_quantity_histogram,
+        "events_hourly": q_events_hourly,
+        "events_user_gaps": q_events_user_gaps,
+        "events_running_total": q_events_running_total,
+        "doc_lang_stats": q_doc_lang_stats,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality_filter": q_doc_quality_filter,
+        "doc_regex_hits": q_doc_regex_hits,
+        "doc_redaction_changed": q_doc_redaction_changed,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_buckets": q_doc_minhash_buckets,
+        "embedding_topk": q_embedding_topk,
+        "embedding_label_centroids": q_embedding_label_centroids,
+        "doc_scrub_nosql": q_doc_scrub_nosql,
+        "embedding_lsh_nosql": q_embedding_lsh_nosql,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+                        JOIN customer ON n_nationkey = c_nationkey
+                        JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY n_name
+        """,
+        "top_customers_per_nation": """
+            SELECT c_nationkey, c_custkey, rnk, acctbal FROM (
+                SELECT c_nationkey, c_custkey,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+                       ROUND(c_acctbal, 2) AS acctbal
+                FROM customer
+            ) WHERE rnk <= 3
+        """,
+        "orders_with_discounted_items": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+            GROUP BY o_orderpriority
+        """,
+        "distinct_customers": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT c_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customer_set_ops": """
+            SELECT COUNT(*) AS n_custs FROM (
+                SELECT custkey FROM (
+                    SELECT DISTINCT o_custkey AS custkey FROM orders
+                    EXCEPT ALL
+                    SELECT DISTINCT o_custkey AS custkey FROM orders
+                    WHERE o_totalprice > 200000
+                )
+                INTERSECT
+                SELECT c_custkey AS custkey FROM customer
+                WHERE c_mktsegment = 'AUTOMOBILE'
+            )
+        """,
+        "top_orders": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
+        "revenue_rollup": """
+            SELECT YEAR(o_orderdate) AS order_year, o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(order_year, o_orderpriority)
+        """,
+        "quantity_histogram": """
+            SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS qty_bucket,
+                   COUNT(*) AS n_items,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price
+            FROM lineitem
+            GROUP BY qty_bucket
+        """,
+        "events_hourly": """
+            SELECT STRFTIME(ts, '%Y-%m-%d') AS day, HOUR(ts) AS hour, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY day, hour, event_type
+        """,
+        "events_user_gaps": """
+            SELECT user_id, ROUND(AVG(gap_s), 2) AS avg_gap_s,
+                   COUNT(*) AS n_gaps
+            FROM (
+                SELECT user_id,
+                       EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)) AS gap_s
+                FROM events
+            ) WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS running_value
+            FROM events
+        """,
+        "doc_lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_token_stats": """
+            SELECT lang,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_tokens), 4) AS avg_tokens,
+                   ROUND(AVG(n_distinct * 1.0 / n_tokens), 4) AS avg_distinct_ratio
+            FROM (
+                SELECT lang,
+                       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                       LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct
+                FROM documents
+            )
+            GROUP BY lang
+        """,
+        "doc_quality_filter": """
+            SELECT lang,
+                   (n_chars >= 50 AND n_chars <= 500 AND
+                    LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+                    / LEN(STRING_SPLIT(text, ' ')) >= 0.3) AS keep,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY lang, keep
+        """,
+        "doc_regex_hits": """
+            SELECT lang,
+                   CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+                   CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits
+            FROM (
+                SELECT lang,
+                       LEN(REGEXP_EXTRACT_ALL(text, '\\b(join|merge)\\b')) AS n_hits
+                FROM documents
+            )
+            GROUP BY lang
+        """,
+        "doc_redaction_changed": """
+            SELECT lang,
+                   SUM(CASE WHEN text != REGEXP_REPLACE(text, '\\bspark\\b',
+                            '[REDACTED]', 'g') THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "doc_exact_dedup": """
+            SELECT COUNT(*) AS dup_groups,
+                   CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS dup_docs
+            FROM (
+                SELECT MD5(text) AS fp, COUNT(*) AS n_copies
+                FROM documents GROUP BY fp HAVING COUNT(*) > 1
+            )
+        """,
+        "doc_minhash_buckets": """
+            WITH toks AS (
+                SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens
+                FROM documents
+                WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+            ), sigs AS (
+                SELECT doc_id,
+                       LIST_MIN(LIST_TRANSFORM(
+                           RANGE(1, LEN(tokens) - 1),
+                           i -> MD5(tokens[i] || ' ' || tokens[i+1] || ' '
+                                    || tokens[i+2]))) AS sig
+                FROM toks
+            )
+            SELECT bucket_size, COUNT(*) AS n_buckets FROM (
+                SELECT sig, COUNT(*) AS bucket_size FROM sigs GROUP BY sig
+            ) GROUP BY bucket_size
+        """,
+        "embedding_topk": """
+            SELECT e.vec_id, e.label,
+                   ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 6)
+                       AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings
+                                WHERE vec_id = 0) q
+            WHERE e.vec_id != 0
+            ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.embedding) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+        "embedding_label_centroids": """
+            SELECT label,
+                   ROUND(SQRT(SUM(mean_v * mean_v)), 6) AS centroid_norm,
+                   COUNT(*) AS n_dims
+            FROM (
+                SELECT label, r.i AS dim, AVG(embedding[r.i]) AS mean_v
+                FROM embeddings CROSS JOIN RANGE(1, 65) AS r(i)
+                GROUP BY label, r.i
+            )
+            GROUP BY label
+        """,
+    }

@@ -1,0 +1,101 @@
+"""Embedding similarity search: brute-force baseline + LSH scale path.
+
+Brute-force cosine top-k stays entirely JVM-side (higher-order array
+functions — ``zip_with``/``aggregate`` — inside whole-stage codegen).  The
+scale path is random-hyperplane LSH: a seeded, data-independent projection
+assigns each vector a ``n_planes``-bit bucket; candidate pairs come from
+bucket-equality joins instead of the full cross product.  At 10^12 rows the
+bucket column is also the natural partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector (broadcast literal)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("cosine", cosine(F.col(vec_col), qv))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach an LSH bucket id: sign bits of seeded random projections.
+
+    The hyperplanes are literals in the plan (seeded, tiny: n_planes x dim
+    doubles), so bucketing runs JVM-side with no UDF and no shuffle.
+    """
+    bucket = F.lit(0)
+    planes = _hyperplanes(dim, n_planes, seed)
+    for p, plane in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(F.col(vec_col), pv) > 0).cast("int")
+        bucket = bucket + bit * F.lit(2**p)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_bucket_histogram(
+    df: DataFrame, dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Bucket-size histogram — the candidate-set cost profile of the index."""
+    return (
+        with_lsh_bucket(df, dim=dim, n_planes=n_planes, seed=seed)
+        .groupBy("lsh_bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec)
+    qbucket = int(sum((planes @ q > 0).astype(int) * (2 ** np.arange(n_planes))))
+    bucketed = with_lsh_bucket(df, dim=dim, n_planes=n_planes, seed=seed)
+    candidates = bucketed.where(F.col("lsh_bucket") == qbucket)
+    return brute_force_topk(candidates, query_vec, k, vec_col, id_col)

@@ -1,0 +1,93 @@
+"""Driver-contract conformance: queries() vs oracle_sql() via DuckDB.
+
+Mimics the grading driver: run each Spark query and its DuckDB oracle on the
+same parquet tables, compare row count, column names, and an order-insensitive
+value multiset (floats normalized).  Runs at sf0.001 in CI; the driver reruns
+at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    spark_df = q(spark, SF_DIR).toPandas()
+    oracle_df = ddb.sql(entrymod.oracle_sql()[name]).df()
+    s_cols, s_rows = _multiset(spark_df)
+    o_cols, o_rows = _multiset(oracle_df)
+    assert s_cols == o_cols, f"{name}: columns {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: rows {len(s_rows)} vs {len(o_rows)}"
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatching rows; first: "
+        f"{s_rows[mism[0]]} vs {o_rows[mism[0]]}"
+    )
+
+
+def test_every_query_runs(spark):
+    """Queries without oracles still run and return sane rows."""
+    oracles = entrymod.oracle_sql()
+    for name, q in entrymod.queries().items():
+        if name in oracles:
+            continue
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.count() > 0
+    assert "scrubbed" in df.columns
+    assert rows
