@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -17,6 +18,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def tmp_root():
+    os.makedirs("/root/repo/.cache", exist_ok=True)
     d = tempfile.mkdtemp(prefix="pii_spark_test_", dir="/root/repo/.cache")
     yield d
     shutil.rmtree(d, ignore_errors=True)
