@@ -30,9 +30,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    from pii_redactor_spark.operators.scrub import scrub_udf
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
 
-    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    docs = parallelize_for_udf(_t(spark, "/root/testdata/sf0.001", "documents"))
     scrubbed = docs.withColumn("_s", scrub_udf(F.col("text"))).select(
         "doc_id",
         "lang",
@@ -440,9 +440,9 @@ def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_doc_scrub_nosql(spark: SparkSession, sf: str) -> DataFrame:
     """Full engine scrub over documents (UDF payload: langid/quality/PII)."""
-    from pii_redactor_spark.operators.scrub import scrub_udf
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
     return (
         docs.withColumn("_s", scrub_udf(F.col("text")))
         .select(

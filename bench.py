@@ -1,0 +1,87 @@
+"""Benchmark harness for the driver: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are forced with a noop write (full execution, no driver collect cost).
+The flagship ``doc_scrub`` runs the complete langid + quality + PII-scrub
+pandas-UDF stage over the documents table — the engine's core workload; its
+throughput is also reported (docs/sec) alongside the per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "doc_scrub_nosql",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_customers_per_nation",
+    "events_hourly",
+    "events_running_total",
+    "doc_minhash_buckets",
+    "doc_exact_dedup",
+    "embedding_topk",
+    "embedding_lsh_nosql",
+]
+
+
+def force(df) -> int:
+    """Fully execute a plan; returns row count via a cheap count over cached
+    physical results is avoided — noop write executes every operator."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    from pii_redactor_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="pii-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # Warm up the JVM + all Python workers once with the full UDF stage: a
+    # 100 TB job amortizes worker startup over hours; the bench should
+    # measure steady-state throughput, not one-time fork+import cost.
+    force(qs["doc_scrub_nosql"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scrub_docs_per_sec": round(n_docs / timings["doc_scrub_nosql"], 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

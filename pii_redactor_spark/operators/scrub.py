@@ -137,3 +137,18 @@ def with_scrub(df: DataFrame, caption_col: str = "caption") -> DataFrame:
     return df.withColumn("_scrub", scrub_expr(caption_col)).select(
         "*", "_scrub.*"
     ).drop("_scrub")
+
+
+def parallelize_for_udf(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Ensure the CPU-bound UDF stage has >= cores*min_factor partitions.
+
+    At 100 TB the scan yields thousands of splits and this is a no-op; on a
+    small single-file input (bench/test scale) the scan gives one partition
+    and would serialize the whole UDF stage — one round-robin repartition
+    (cheap: the table is small precisely when this fires) restores
+    parallelism.  Plan-only check; triggers no job.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -1,0 +1,130 @@
+"""Two-cluster-size scaling evidence for the north rule.
+
+No real cluster exists in this sandbox, so the N -> 4N executor criterion is
+evidenced by running the SAME job on the SAME input at two parallelism levels
+(local[8] vs local[32]) and reporting throughput at both plus
+
+    efficiency = (throughput_4N / throughput_N) / 4        (target >= 0.8)
+
+Each level runs in its own subprocess (fresh JVM — master can't change inside
+one process).  Python workers are warmed with one full pass first: a 100 TB
+job amortizes worker fork+import over hours, so steady-state throughput is
+the honest number; the cold (first-pass) time is reported alongside.
+
+Usage:
+    python tools/bench_scaling.py                 # orchestrate, print JSON
+    python tools/bench_scaling.py --worker N      # one level (internal)
+    BENCH_ROWS=400000 python tools/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+ROWS = int(os.environ.get("BENCH_ROWS", "400000"))
+FIXTURE = os.environ.get(
+    "BENCH_FIXTURE", f"/root/repo/.cache/bench_fx_{ROWS}"
+)
+LEVELS = (8, 32)
+
+
+def ensure_fixture() -> str:
+    images_path = f"{FIXTURE}/images"
+    marker = f"{FIXTURE}/_GEN_DONE"
+    if os.path.exists(marker):
+        return images_path
+    from pii_redactor_spark.fixtures.captions import CaptionConfig
+    from pii_redactor_spark.fixtures.images import write_fixture_tables
+    from pii_redactor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    write_fixture_tables(spark, FIXTURE, ROWS, CaptionConfig(), partitions=256)
+    print(f"# generated {ROWS} rows in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    spark.stop()
+    open(marker, "w").close()
+    return images_path
+
+
+def run_level(cores: int, images_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.pipeline.run import scrub_images
+    from pii_redactor_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-scale-{cores}",
+                      master=f"local[{cores}]", shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = spark.read.parquet(images_path)
+    n = src.count()
+
+    out = "/root/repo/.cache/bench_scale_out"
+
+    def job() -> float:
+        t0 = time.perf_counter()
+        result = scrub_images(src).withColumn(
+            "caption", F.col("scrubbed")
+        ).drop("scrubbed_simple")
+        result.write.mode("overwrite").parquet(out)
+        return time.perf_counter() - t0
+
+    cold = job()        # includes Python-worker startup at this level
+    warm = min(job() for _ in range(2))
+    spark.stop()
+    return {
+        "cores": cores, "rows": n,
+        "cold_sec": round(cold, 2), "warm_sec": round(warm, 2),
+        "cold_images_per_sec": round(n / cold, 1),
+        "images_per_sec": round(n / warm, 1),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        res = run_level(int(sys.argv[2]), sys.argv[3])
+        print("RESULT " + json.dumps(res))
+        return
+
+    images_path = ensure_fixture()
+    results = {}
+    for cores in LEVELS:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cores), images_path],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], proc.stderr[-3000:])
+            sys.exit(1)
+        results[cores] = json.loads(line[-1][len("RESULT "):])
+        print(f"# local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    lo, hi = LEVELS
+    eff = (results[hi]["images_per_sec"] / results[lo]["images_per_sec"]) / (
+        hi / lo
+    )
+    eff_cold = (
+        results[hi]["cold_images_per_sec"] / results[lo]["cold_images_per_sec"]
+    ) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "levels": results,
+        "efficiency_warm": round(eff, 3),
+        "efficiency_cold": round(eff_cold, 3),
+        "rows": ROWS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Self-check the driver contract: run every __spark_entry__ query on Spark
+and its oracle SQL on DuckDB at sf0.01, compare row count, column names, and
+values (columns sorted by name, rows sorted by stringified tuple — the
+driver's documented comparison).
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted(
+        tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(rows), cols, h.hexdigest(), rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from pii_redactor_spark.session import get_spark
+
+    spark = get_spark(app_name="contract-check", master="local[8]",
+                      shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {e}")
+            failures.append(name)
+            continue
+        sn, sc, sh, srows = frame_fingerprint(sdf)
+        on_, oc, oh, orows = frame_fingerprint(odf)
+        if sc != oc:
+            print(f"FAIL {name}: columns spark={sc} oracle={oc}")
+            failures.append(name)
+        elif sn != on_:
+            print(f"FAIL {name}: rows spark={sn} oracle={on_}")
+            failures.append(name)
+        elif sh != oh:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL {name}: value hash mismatch; first diffs: {diff}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {sn} rows match")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()
