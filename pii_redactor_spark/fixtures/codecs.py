@@ -125,6 +125,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def phash64(pixels: np.ndarray) -> int:
     """64-bit average hash of the pixels, as a signed int64 for Spark."""
     gray = pixels.astype(np.float64).mean(axis=2)
+    if gray.shape[0] < 8 or gray.shape[1] < 8:  # tiny rasters: edge-pad
+        gray = np.pad(
+            gray,
+            ((0, max(0, 8 - gray.shape[0])), (0, max(0, 8 - gray.shape[1]))),
+            mode="edge",
+        )
     h, w = gray.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))

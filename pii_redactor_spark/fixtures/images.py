@@ -171,8 +171,16 @@ def write_fixture_tables(
 
     images_path = f"{out_dir}/images"
     labels_path = f"{out_dir}/labels"
+    # Cluster rows by phash_prefix BEFORE the partitioned write: without the
+    # shuffle every task holds rows of every prefix and the dynamic write
+    # emits tasks x prefixes tiny files (the small-files bomb — measured 96 s
+    # for 20k rows vs ~10 s after).  Same reasoning holds at 100 TB: one
+    # shuffle keyed on the partition column bounds file count by the number
+    # of reduce tasks.
+    n_write_tasks = max(parts // 4, 8)
     (
         base.mapInPandas(gen_images, schema=IMAGES_SCHEMA)
+        .repartition(n_write_tasks, "phash_prefix")
         .write.mode("overwrite")
         .partitionBy("phash_prefix")
         .parquet(images_path)
