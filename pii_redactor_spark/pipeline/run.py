@@ -58,6 +58,36 @@ def scrub_images(
     return scrubbed.withColumn("n_entities", F.size("entities"))
 
 
+def scrub_decisions(
+    df: DataFrame,
+    salt_partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The at-scale form of the scrub job: decisions only, bytes untouched.
+
+    Rewriting 100 TB of image bytes that pass through unchanged is the one
+    thing a 10^12-row pipeline must never do.  This variant projects the
+    caption-side columns BEFORE the UDF stage, so parquet/Iceberg column
+    pruning never reads ``bytes`` from storage (verify: ReadSchema in
+    ``.explain`` has no bytes field), and the output is the small decisions
+    table keyed by ``image_id`` — keep/drop + scrubbed caption + quality
+    metrics.  Consumers apply it with a partition-pruned equi join against
+    the source table (or an Iceberg metadata-only row-delete); the pixels
+    stay where they are.
+    """
+    pruned = df.select("image_id", "phash_prefix", "caption")
+    if salt_partitions:
+        pruned = pruned.repartition(
+            salt_partitions,
+            F.col("phash_prefix"),
+            (F.rand(seed) * 16).cast("int"),
+        )
+    scrubbed = with_scrub(pruned)
+    return scrubbed.withColumn("n_entities", F.size("entities")).select(
+        *DECISION_COLS, "scrubbed", "scrubbed_simple"
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     images_path: str,

@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4 promises.
+
+These pin the *plan shape*, not results: column pruning into the scan, filter
+pushdown, no double evaluation of the scrub UDF, broadcast of small dims.
+A refactor that silently breaks one of these still passes every correctness
+test while becoming 10-100x slower at 100 TB — so the plan itself is a test
+surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, tmp_root):
+    from pii_redactor_spark.fixtures.captions import CaptionConfig
+    from pii_redactor_spark.fixtures.images import write_fixture_tables
+
+    path, _ = write_fixture_tables(
+        spark, f"{tmp_root}/plans_fx", 200, CaptionConfig(), partitions=4
+    )
+    return spark.read.parquet(path)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_decisions_plan_never_reads_bytes(images_df):
+    """scrub_decisions must column-prune `bytes` out of the parquet scan."""
+    from pii_redactor_spark.pipeline.run import scrub_decisions
+
+    plan = _plan(scrub_decisions(images_df))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert all("bytes" not in l for l in scan), scan
+
+
+def test_scrub_udf_evaluated_once(images_df):
+    """Filter-on-keep + project-scrubbed must not duplicate the UDF stage.
+
+    The UDF is marked nondeterministic precisely to stop Catalyst from
+    cloning it across the Filter/Project boundary (scrub.py) — the
+    reference's double-predict mistake (inference.py:420-421) in reverse.
+    """
+    from pii_redactor_spark.operators.scrub import with_scrub
+
+    import contextlib
+    import io
+
+    df = with_scrub(images_df).where(F.col("keep")).select("scrubbed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")  # one line per node
+    plan = buf.getvalue()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_filter_pushdown_reaches_scan(images_df):
+    filtered = images_df.where(F.col("fmt") == "png").select("image_id")
+    plan = _plan(filtered)
+    assert "PushedFilters: [" in plan
+    assert "fmt" in plan.split("PushedFilters:", 1)[1].split("]", 1)[0], plan
+
+
+def test_partition_pruning_on_phash_prefix(images_df):
+    pruned = images_df.where(F.col("phash_prefix") == 3)
+    plan = _plan(pruned)
+    # partition filters appear as PartitionFilters on the scan node
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "phash_prefix" in seg, plan
+
+
+def test_broadcast_join_for_small_dim(spark):
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    fact = spark.range(100000).withColumnRenamed("id", "k")
+    joined = fact.join(F.broadcast(dim), "k")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_covers_relational_ops(images_df):
+    import contextlib
+    import io
+
+    q = (
+        images_df.where(F.col("w") >= 24)
+        .groupBy("fmt")
+        .agg(F.count("*").alias("n"), F.avg("w").alias("avg_w"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="codegen")
+    out = buf.getvalue()
+    assert "WholeStageCodegen" in out, out
