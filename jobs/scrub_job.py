@@ -1,0 +1,76 @@
+"""spark-submit entry point for the quality-filter + PII-scrub pipeline.
+
+The north rule requires the job to be submitted via ``spark-submit
+--py-files`` on a multi-executor cluster.  Usage:
+
+    python tools/make_pyfiles.py                       # build dist/pii_redactor_spark.zip
+    spark-submit --master <cluster-or-local[N]> \
+        --py-files dist/pii_redactor_spark.zip \
+        jobs/scrub_job.py --input <images_table> --output <out_dir> \
+        [--mode decisions|materialize] [--salt-partitions N] \
+        [--prefixes-per-commit K]
+
+Everything cluster-shaped is inherited from the session Spark gives us (no
+``.master()`` call here — spark-submit owns deployment); this script only
+declares the job.  ``decisions`` mode (default) is the at-scale form: image
+bytes are never read (column pruning) and the output is the small decisions
+table.  ``materialize`` runs the resumable partition-committed pipeline that
+rewrites kept rows (used by the correctness gates).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", choices=["decisions", "materialize"],
+                   default="decisions")
+    p.add_argument("--salt-partitions", type=int, default=None)
+    p.add_argument("--prefixes-per-commit", type=int, default=64)
+    args = p.parse_args(argv)
+
+    # Import AFTER spark-submit has placed --py-files on sys.path.
+    from pyspark.sql import SparkSession
+
+    from pii_redactor_spark.pipeline.run import run_pipeline, scrub_decisions
+
+    spark = (
+        SparkSession.builder.appName("pii-scrub")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    t0 = time.perf_counter()
+    if args.mode == "decisions":
+        src = spark.read.parquet(args.input)
+        result = scrub_decisions(src, salt_partitions=args.salt_partitions)
+        result.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        summary = {"mode": "decisions", "rows": n}
+    else:
+        summary = run_pipeline(
+            spark,
+            args.input,
+            args.output,
+            prefixes_per_commit=args.prefixes_per_commit,
+            salt_partitions=args.salt_partitions,
+        )
+        summary["mode"] = "materialize"
+    summary["wall_sec"] = round(time.perf_counter() - t0, 2)
+    print("SCRUB_JOB_SUMMARY " + json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

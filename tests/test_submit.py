@@ -1,0 +1,86 @@
+"""Integration test: the pipeline submits via spark-submit --py-files.
+
+Runs the real ``spark-submit`` binary in a clean working directory (so the
+package can ONLY come from the --py-files zip) in both job modes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+REPO = "/root/repo"
+
+
+@pytest.fixture(scope="module")
+def small_images(spark, tmp_root):
+    from pii_redactor_spark.fixtures.captions import CaptionConfig
+    from pii_redactor_spark.fixtures.images import write_fixture_tables
+
+    path, _ = write_fixture_tables(
+        spark, f"{tmp_root}/submit_fx", 300, CaptionConfig(), partitions=4
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def pyfiles_zip(tmp_root):
+    import sys
+
+    sys.path.insert(0, f"{REPO}/tools")
+    from make_pyfiles import build
+
+    return build(out=f"{tmp_root}/pii_redactor_spark.zip")
+
+
+def _submit(pyfiles_zip, args, cwd):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # package must come from --py-files only
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pyfiles_zip,
+            f"{REPO}/jobs/scrub_job.py",
+            *args,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=cwd, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.splitlines()
+             if l.startswith("SCRUB_JOB_SUMMARY ")]
+    assert lines, proc.stdout[-2000:]
+    return json.loads(lines[-1].split(" ", 1)[1])
+
+
+def test_submit_decisions_mode(spark, small_images, pyfiles_zip, tmp_root):
+    out = f"{tmp_root}/submit_out_decisions"
+    summary = _submit(
+        pyfiles_zip,
+        ["--input", small_images, "--output", out, "--mode", "decisions"],
+        cwd=tmp_root,
+    )
+    assert summary["rows"] == 300
+    df = spark.read.parquet(out)
+    assert df.count() == 300
+    assert "scrubbed" in df.columns and "keep" in df.columns
+    assert "bytes" not in df.columns  # decisions table carries no pixels
+
+
+def test_submit_materialize_mode(spark, small_images, pyfiles_zip, tmp_root):
+    out = f"{tmp_root}/submit_out_mat"
+    summary = _submit(
+        pyfiles_zip,
+        ["--input", small_images, "--output", out, "--mode", "materialize",
+         "--prefixes-per-commit", "300"],
+        cwd=tmp_root,
+    )
+    assert summary["n_in"] == 300
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == 300
+    assert "bytes" in data.columns
