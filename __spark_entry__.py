@@ -376,9 +376,151 @@ def q_doc_minhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup bucketing: 16-bit simhash over word tokens.
+
+    Per-token 16-bit hash = md5 prefix (identical in DuckDB via
+    CAST('0x'||substr(md5(t),1,4) AS INT)); each simhash bit is the sign of
+    the +/-1 vote sum across tokens.  Explode+groupBy keeps the vote sums as
+    plain hash aggregates (map-side partial agg; no UDF).
+    """
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [(F.col(f"s{b}") > 0).cast("int") * F.lit(1 << b)
+             for b in range(16)],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verifier for the LSH paths).
+
+    All-pairs self-join is the *oracle* form, viable at sf<=0.01; the scale
+    path is minhash/simhash bucketing (q_doc_minhash_buckets /
+    q_doc_simhash_buckets) which prunes candidates before this comparison.
+    """
+    docs = _t(spark, sf, "documents")
+    sh = docs.where(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', split(text, ' ')[i-1], "
+                "split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    jac = pairs.select(
+        (
+            F.size(F.array_intersect("a.shingles", "b.shingles"))
+            / F.size(F.array_union("a.shingles", "b.shingles"))
+        ).alias("jaccard")
+    )
+    return jac.agg(
+        F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n_neardup_pairs"),
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    )
+
+
+def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: min rolling char-8-gram hash per doc
+    (winnowing's bottom-1 sketch), then collision-group stats per lang."""
+    docs = _t(spark, sf, "documents").where(F.length("text") >= 8)
+    fp = docs.select(
+        "lang",
+        F.expr(
+            "array_min(transform(sequence(1, char_length(text) - 7), "
+            "i -> md5(substring(text, i, 8))))"
+        ).alias("fp"),
+    )
+    return fp.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
+def q_doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation), vs the whitespace counting in q_doc_token_stats."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.withColumn(
+        "n_bpe",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ),
+    ).withColumn("n_ws", F.size(F.split("text", " ")))
+    return toks.groupBy("lang").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(F.col("n_bpe") / F.col("n_ws")), 4).alias(
+            "bpe_per_ws_ratio"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all-pairs at oracle scale; the
+    LSH bucket path (q_embedding_lsh_nosql) is the 10^12-row candidate
+    generator for the same comparison."""
+    emb = _t(spark, sf, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = pairs.select(
+        (
+            dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(dot(F.col("va"), F.col("va")))
+               * F.sqrt(dot(F.col("vb"), F.col("vb"))))
+        ).alias("cosine")
+    )
+    return cos.agg(
+        F.sum((F.col("cosine") >= 0.9).cast("long")).alias("n_neardup"),
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("cosine"), 4).alias("avg_cosine"),
+    )
 
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector.
@@ -484,6 +626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redaction_changed": q_doc_redaction_changed,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_buckets": q_doc_minhash_buckets,
+        "doc_simhash_buckets": q_doc_simhash_buckets,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+        "doc_char_fingerprints": q_doc_char_fingerprints,
+        "doc_bpe_token_stats": q_doc_bpe_token_stats,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
         "doc_scrub_nosql": q_doc_scrub_nosql,
@@ -675,6 +822,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket_size, COUNT(*) AS n_buckets FROM (
                 SELECT sig, COUNT(*) AS bucket_size FROM sigs GROUP BY sig
             ) GROUP BY bucket_size
+        """,
+        "doc_simhash_buckets": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(t.tok), 1, 4) AS INT) AS h
+                FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            ), votes AS (
+                SELECT doc_id,
+                       {vote_cols}
+                FROM tok GROUP BY doc_id
+            ), sims AS (
+                SELECT doc_id, {simhash_expr} AS simhash FROM votes
+            )
+            SELECT bucket_size, COUNT(*) AS n_buckets FROM (
+                SELECT simhash, COUNT(*) AS bucket_size FROM sims
+                GROUP BY simhash
+            ) GROUP BY bucket_size
+        """.format(
+            vote_cols=", ".join(
+                f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                for b in range(16)
+            ),
+            simhash_expr=" + ".join(
+                f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END) * {1 << b}"
+                for b in range(16)
+            ),
+        ),
+        "doc_ngram_jaccard_pairs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           RANGE(1, LEN(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])) AS shingles
+                FROM documents
+                WHERE LEN(string_split(text, ' ')) >= 3
+            ), pairs AS (
+                SELECT LEN(LIST_INTERSECT(a.shingles, b.shingles)) * 1.0 /
+                       LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))
+                           AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neardup_pairs,
+                   COUNT(*) AS n_pairs,
+                   ROUND(AVG(jaccard), 4) AS avg_jaccard
+            FROM pairs
+        """,
+        "doc_char_fingerprints": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT fp) AS n_fingerprints
+            FROM (
+                SELECT lang,
+                       LIST_MIN(LIST_TRANSFORM(
+                           RANGE(1, LEN(text) - 6),
+                           i -> md5(substr(text, i, 8)))) AS fp
+                FROM documents WHERE LEN(text) >= 8
+            ) GROUP BY lang
+        """,
+        "doc_bpe_token_stats": """
+            SELECT lang,
+                   CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                   ROUND(AVG(n_bpe), 4) AS avg_bpe_tokens,
+                   ROUND(AVG(n_bpe * 1.0 / n_ws), 4) AS bpe_per_ws_ratio
+            FROM (
+                SELECT lang,
+                       LEN(regexp_extract_all(text,
+                           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+                       LEN(string_split(text, ' ')) AS n_ws
+                FROM documents
+            ) GROUP BY lang
+        """,
+        "embedding_neardup_pairs": """
+            SELECT CAST(SUM(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neardup,
+                   COUNT(*) AS n_pairs,
+                   ROUND(AVG(cosine), 4) AS avg_cosine
+            FROM (
+                SELECT LIST_COSINE_SIMILARITY(a.embedding, b.embedding)
+                           AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
         """,
         "embedding_topk": """
             SELECT e.vec_id, e.label,
