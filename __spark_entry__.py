@@ -604,6 +604,19 @@ def q_embedding_lsh_nosql(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucket_histogram(_t(spark, sf, "embeddings"), n_planes=8, seed=42)
 
 
+def q_embedding_ivf_nosql(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2: IVF coarse-quantizer cell occupancy (the cell id is
+    the partition key at 10^12 rows; full-probe degrades to exact search —
+    pinned by tests/test_similarity.py)."""
+    from pii_redactor_spark.operators.similarity import ivf_assign
+
+    return (
+        ivf_assign(_t(spark, sf, "embeddings"))
+        .groupBy("ivf_cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -635,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": q_embedding_label_centroids,
         "doc_scrub_nosql": q_doc_scrub_nosql,
         "embedding_lsh_nosql": q_embedding_lsh_nosql,
+        "embedding_ivf_nosql": q_embedding_ivf_nosql,
     }
 
 

@@ -11,8 +11,10 @@ bucket column is also the natural partition key.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -80,6 +82,65 @@ def lsh_bucket_histogram(
         .groupBy("bucket_size")
         .agg(F.count("*").alias("n_buckets"))
     )
+
+
+def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    df: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its cosine-nearest
+    cell of a seeded random spherical codebook.
+
+    The codebook is data-independent and tiny (n_cells x dim), so assignment
+    is one narrow Arrow-vectorized pass (NumPy matmul per batch) — no
+    training job, no shuffle.  At 10^12 rows ``ivf_cell`` doubles as the
+    storage partition key, so a query's nprobe cells map to partition-pruned
+    scans instead of a full pass.
+    """
+    cents = _ivf_centroids(dim, n_cells, seed)
+
+    @pandas_udf("int")
+    def cell(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.values).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((m / norms) @ cents.T, axis=1))
+
+    return df.withColumn("ivf_cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine over the query's nprobe nearest IVF
+    cells only.  ``nprobe == n_cells`` degrades gracefully to exact search
+    (the recall/latency dial a production index exposes)."""
+    cents = _ivf_centroids(dim, n_cells, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
+    candidates = ivf_assign(
+        df, dim=dim, n_cells=n_cells, seed=seed, vec_col=vec_col
+    ).where(F.col("ivf_cell").isin([int(p) for p in probe]))
+    return brute_force_topk(candidates.drop("ivf_cell"), query_vec, k,
+                            vec_col, id_col)
 
 
 def lsh_topk(

@@ -1,0 +1,88 @@
+"""Similarity-search operators: brute-force, LSH, IVF over embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_bucket_histogram,
+    lsh_topk,
+    with_lsh_bucket,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+def test_brute_force_topk_is_exact_and_ordered(emb, qvec):
+    rows = brute_force_topk(emb.where(F.col("vec_id") != 0), qvec, 10).collect()
+    assert len(rows) == 10
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    assert all(-1.0001 <= c <= 1.0001 for c in cos)
+
+
+def test_lsh_buckets_deterministic_and_partitioning(emb):
+    h1 = {r["bucket_size"]: r["n_buckets"]
+          for r in lsh_bucket_histogram(emb).collect()}
+    h2 = {r["bucket_size"]: r["n_buckets"]
+          for r in lsh_bucket_histogram(emb).collect()}
+    assert h1 == h2
+    n = emb.count()
+    assert sum(k * v for k, v in h1.items()) == n
+    # buckets must actually split the corpus (not all-in-one)
+    assert max(h1) < n
+
+
+def test_lsh_topk_subset_of_bucket(emb, qvec):
+    rows = lsh_topk(emb.where(F.col("vec_id") != 0), qvec, k=10).collect()
+    assert 0 < len(rows) <= 10
+    # every candidate really is in the query's bucket: scoring only a subset
+    bucketed = with_lsh_bucket(emb)
+    qb = bucketed.where(F.col("vec_id") == 0).collect()[0]["lsh_bucket"]
+    ids = {r["vec_id"] for r in rows}
+    in_bucket = {
+        r["vec_id"]
+        for r in bucketed.where(F.col("lsh_bucket") == qb).collect()
+    }
+    assert ids <= in_bucket
+
+
+def test_ivf_full_probe_equals_exact(emb, qvec):
+    base = emb.where(F.col("vec_id") != 0)
+    exact = [(r["vec_id"], round(r["cosine"], 9))
+             for r in brute_force_topk(base, qvec, 10).collect()]
+    full = [(r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(base, qvec, k=10, nprobe=16, n_cells=16).collect()]
+    assert exact == full
+
+
+def test_ivf_probe_prunes_candidates(emb, qvec):
+    assigned = ivf_assign(emb)
+    sizes = assigned.groupBy("ivf_cell").count().collect()
+    assert len(sizes) > 4  # codebook actually partitions the space
+    total = emb.count()
+    assert all(r["count"] < total for r in sizes)
+    # nprobe=2 searches a strict subset but still returns k results
+    rows = ivf_topk(emb.where(F.col("vec_id") != 0), qvec, k=10, nprobe=2)
+    assert rows.count() == 10
+
+
+def test_ivf_assignment_deterministic_across_runs(emb):
+    a = ivf_assign(emb).select("vec_id", "ivf_cell").collect()
+    b = ivf_assign(emb).select("vec_id", "ivf_cell").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
