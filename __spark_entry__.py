@@ -202,6 +202,41 @@ def q_quantity_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join — the resume protocol's plan shape (input LEFT ANTI lineage)
+    exercised relationally: customers who never placed a high-value order, per segment."""
+    cust = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").where(F.col("o_totalprice") > 150000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_never_ordered"))
+    )
+
+
+def q_orders_monthly_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """date_trunc + window lag OVER an aggregate: month-over-month revenue."""
+    orders = _t(spark, sf, "orders")
+    monthly = (
+        orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+        .groupBy("month")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "revenue",
+            F.round(
+                (F.col("revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue") * 100,
+                4,
+            ).alias("growth_pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: date/time functions + windows
 # ---------------------------------------------------------------------------
@@ -257,6 +292,23 @@ def q_events_running_total(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Documents: text analysis, regex, dedup
 # ---------------------------------------------------------------------------
+
+def q_doc_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's benchmark-stats aggregate shape (perf_test.py:136-152:
+    mean/median/p95/p99/std/min/max) over caption lengths per language.
+    Exact `percentile` here; at 10^12 rows swap to `percentile_approx`
+    (t-digest sketch, single-pass mergeable) — same plan shape."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("std_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
 
 def q_doc_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
@@ -629,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "revenue_rollup": q_revenue_rollup,
         "quantity_histogram": q_quantity_histogram,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_monthly_growth": q_orders_monthly_growth,
+        "doc_length_percentiles": q_doc_length_percentiles,
         "events_hourly": q_events_hourly,
         "events_user_gaps": q_events_user_gaps,
         "events_running_total": q_events_running_total,
@@ -740,6 +795,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_extendedprice), 4) AS avg_price
             FROM lineitem
             GROUP BY qty_bucket
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_never_ordered
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 150000)
+            GROUP BY c_mktsegment
+        """,
+        "orders_monthly_growth": """
+            SELECT STRFTIME(month, '%Y-%m') AS month, revenue,
+                   ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                         / LAG(revenue) OVER (ORDER BY month) * 100, 4)
+                       AS growth_pct
+            FROM (
+                SELECT DATE_TRUNC('month', o_orderdate) AS month,
+                       ROUND(SUM(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY month
+            )
+        """,
+        "doc_length_percentiles": """
+            SELECT lang,
+                   ROUND(AVG(n_chars), 4) AS mean_chars,
+                   ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS p50_chars,
+                   ROUND(QUANTILE_CONT(n_chars, 0.95), 4) AS p95_chars,
+                   ROUND(QUANTILE_CONT(n_chars, 0.99), 4) AS p99_chars,
+                   ROUND(STDDEV_SAMP(n_chars), 4) AS std_chars,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
         "events_hourly": """
             SELECT STRFTIME(ts, '%Y-%m-%d') AS day, HOUR(ts) AS hour, event_type,
