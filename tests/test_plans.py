@@ -88,6 +88,23 @@ def test_broadcast_join_for_small_dim(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_relational_queries_have_no_python_nodes(spark):
+    """Every oracle-checked contract query must stay entirely JVM-side —
+    Python evaluation is reserved for the _nosql scrub/index stages."""
+    import __spark_entry__ as entry
+
+    from pii_redactor_spark.plans import python_udf_nodes
+
+    oracles = entry.oracle_sql()
+    for name, fn in entry.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        n = python_udf_nodes(df)
+        if name in oracles:
+            assert n == 0, f"{name} has {n} Python nodes"
+        elif name == "doc_scrub_nosql":
+            assert n == 1, f"{name} should have exactly one scrub UDF node"
+
+
 def test_whole_stage_codegen_covers_relational_ops(images_df):
     import contextlib
     import io
