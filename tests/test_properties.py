@@ -1,0 +1,92 @@
+"""Property-based tests (Hypothesis) over the Spark-free semantic core.
+
+These pin invariants the distributed engine depends on for correctness at
+any parallelism: determinism, span well-formedness, splice safety, and
+batch-vs-single equivalence (the property that makes Arrow batching a pure
+optimization).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_redactor_spark.core.detect import detect_spans
+from pii_redactor_spark.core.langid import classify_batch
+from pii_redactor_spark.core.quality import DEFAULT_QUALITY, quality_flags_batch
+from pii_redactor_spark.core.redact import redact_simple, redact_typed
+from pii_redactor_spark.core.reference_impl import scrub_text
+
+# Text alphabet: Latin, Hebrew, digits, punctuation, whitespace, a few emoji.
+_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0x5D0, max_codepoint=0x5EA),  # Hebrew
+        st.sampled_from("éèüßñá\n\t🎉"),
+    ),
+    max_size=300,
+)
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_detect_spans_well_formed(text):
+    spans = detect_spans(text)
+    prev_end = -1
+    for s, e, _kind in sorted(spans):
+        assert 0 <= s < e <= len(text)
+        assert s >= prev_end  # non-overlapping
+        prev_end = e
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_scrub_deterministic_and_total(text):
+    a = scrub_text(text)
+    b = scrub_text(text)
+    assert a.scrubbed == b.scrubbed
+    assert a.keep == b.keep
+    assert a.lang == b.lang
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_redaction_preserves_non_entity_text(text):
+    spans = [(s, e, k) for s, e, k in detect_spans(text)]
+    typed = redact_typed(text, spans)
+    # removing all mask tokens leaves only characters from the original
+    leftover = typed
+    for mask in ("[NAME_REDACTED]", "[EMAIL_REDACTED]", "[PHONE_REDACTED]",
+                 "[ID_REDACTED]", "[REDACTED]"):
+        leftover = leftover.replace(mask, "\x00")
+    pieces = [p for p in leftover.split("\x00")]
+    pos = 0
+    for piece in pieces:
+        idx = text.find(piece, pos)
+        assert idx >= 0, (text, typed, piece)
+        pos = idx + len(piece)
+
+
+@given(_text)
+@settings(max_examples=100, deadline=None)
+def test_simple_redaction_never_longer_spanwise(text):
+    spans = [(s, e, k) for s, e, k in detect_spans(text)]
+    simple = redact_simple(text, spans)
+    if not spans:
+        assert simple == text
+
+
+@given(st.lists(_text, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_batch_equals_single_for_quality_and_langid(texts):
+    """Arrow batching must be a pure optimization: scoring N texts together
+    gives exactly the per-text results."""
+    flags_b, bpc_b, _ = quality_flags_batch(texts, DEFAULT_QUALITY)
+    langs_b, confs_b = classify_batch(texts)
+    for i, t in enumerate(texts):
+        flags_s, bpc_s, _ = quality_flags_batch([t], DEFAULT_QUALITY)
+        langs_s, confs_s = classify_batch([t])
+        assert flags_b[i] == flags_s[0]
+        assert abs(bpc_b[i] - bpc_s[0]) < 1e-9
+        assert langs_b[i] == langs_s[0]
+        assert abs(confs_b[i] - confs_s[0]) < 1e-9

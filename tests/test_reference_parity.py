@@ -1,0 +1,150 @@
+"""Regression lock on the reference's curated multilingual corpus.
+
+The reference ships 17 eyeballed examples (test_inference.py:28-134 —
+EN/HE/ES/FR/DE/mixed, plus negative and adversarial cases) but asserts
+nothing about them.  Here every output is byte-pinned: any change to the
+detection/classification/redaction core that shifts one of these strings
+must be a conscious decision.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pii_redactor_spark.core.reference_impl import scrub_text
+
+# (input, expected scrubbed, expects_pii)
+CASES = [
+    (
+        "My name is John Doe and my SSN is 123-45-6789. You can reach me at "
+        "john.doe@example.com or call (555) 123-4567.",
+        "My name is [NAME_REDACTED] and my SSN is [ID_REDACTED]. You can "
+        "reach me at [EMAIL_REDACTED] or call [REDACTED].",
+        True,
+    ),
+    (
+        "Customer information: Sarah Johnson, DOB: 03/15/1985, Credit Card: "
+        "4532-1234-5678-9012, Address: 123 Oak Street, Springfield, IL 62701",
+        "Customer information: [NAME_REDACTED], DOB: [REDACTED], Credit "
+        "Card: [REDACTED], Address: [REDACTED], IL 62701",
+        True,
+    ),
+    (
+        "For urgent matters, contact Dr. Michael Smith at "
+        "michael.smith@hospital.org or his mobile 555-987-6543.",
+        "For urgent matters, contact Dr. [NAME_REDACTED] at "
+        "[EMAIL_REDACTED] or his mobile [PHONE_REDACTED].",
+        True,
+    ),
+    (
+        "שמי אלון כהן ומספר תעודת הזהות שלי הוא 123456789. הטלפון שלי "
+        "050-1234567 והמייל alon.cohen@example.co.il",
+        "שמי [NAME_REDACTED] ומספר תעודת הזהות שלי הוא [ID_REDACTED]. "
+        "הטלפון שלי [REDACTED] והמייל [EMAIL_REDACTED]",
+        True,
+    ),
+    (
+        "פרטי הלקוח: שרה לוי, נולדה ב-15 במרץ 1985, כתובת: רחוב הרצל 45, "
+        "תל אביב. טלפון: 03-1234567",
+        "פרטי הלקוח: [NAME_REDACTED], נולדה ב-[REDACTED], כתובת: רחוב "
+        "[REDACTED]. טלפון: [REDACTED]",
+        True,
+    ),
+    (
+        'לפרטים נוספים צרו קשר עם ד"ר דוד מזרחי במייל '
+        "david.mizrahi@clinic.co.il או בטלפון 052-9876543",
+        'לפרטים נוספים צרו קשר עם ד"ר [NAME_REDACTED] במייל '
+        "[EMAIL_REDACTED] או בטלפון [REDACTED]",
+        True,
+    ),
+    (
+        "מספר רישיון הרכב: 123-45-678, מספר דרכון: AB1234567, חשבון בנק: "
+        "12-345-678901",
+        "מספר רישיון הרכב: [REDACTED], מספר דרכון: [REDACTED], חשבון בנק: "
+        "[REDACTED]",
+        True,
+    ),
+    (
+        "Mi nombre es María García y mi número de teléfono es 91-234-5678. "
+        "Puedes contactarme en maria.garcia@correo.es",
+        "Mi nombre es [REDACTED] y mi número de teléfono es [REDACTED]. "
+        "Puedes contactarme en [EMAIL_REDACTED]",
+        True,
+    ),
+    (
+        "Datos del cliente: Pedro Martínez, nacido el 20/07/1990, dirección: "
+        "Calle Mayor 123, Madrid, España",
+        "Datos del cliente: Pedro Martínez, nacido el [REDACTED], dirección: "
+        "[REDACTED], España",
+        True,
+    ),
+    (
+        "Je m'appelle Pierre Dubois et mon numéro de téléphone est "
+        "01-23-45-67-89. Mon email est pierre.dubois@mail.fr",
+        "Je m'appelle [NAME_REDACTED] et mon numéro de téléphone est "
+        "[REDACTED]. Mon email est [EMAIL_REDACTED]",
+        True,
+    ),
+    (
+        "Informations client: Marie Lefebvre, née le 12/08/1988, adresse: "
+        "15 Rue de la Paix, Paris, France",
+        "Informations client: [NAME_REDACTED], née le [REDACTED], adresse: "
+        "[REDACTED], France",
+        True,
+    ),
+    (
+        "Ich heiße Hans Mueller und meine Telefonnummer ist 030-12345678. "
+        "Meine E-Mail ist hans.mueller@email.de",
+        "Ich heiße [NAME_REDACTED] und meine Telefonnummer ist [REDACTED]. "
+        "Meine E-Mail ist [EMAIL_REDACTED]",
+        True,
+    ),
+    (
+        "Kundendaten: Anna Schmidt, geboren am 05.04.1992, Adresse: "
+        "Hauptstraße 67, Berlin, Deutschland",
+        "Kundendaten: [NAME_REDACTED], geboren am [REDACTED], Adresse: "
+        "Hauptstraße 67, Berlin, Deutschland",
+        True,
+    ),
+    (
+        "Contact info: John Smith (john@example.com) and שרה כהן "
+        "(sarah@example.co.il), phone: 050-1234567",
+        "Contact info: [NAME_REDACTED] ([EMAIL_REDACTED]) and "
+        "[NAME_REDACTED] ([EMAIL_REDACTED]), phone: [REDACTED]",
+        True,
+    ),
+    (
+        "This text contains no PII information, just regular content about "
+        "technology and science.",
+        "This text contains no PII information, just regular content about "
+        "technology and science.",
+        False,
+    ),
+    (
+        "Partial info: My name is J*** D** and my phone is 555-***-****",
+        "Partial info: My name is J*** D** and my phone is 555-***-****",
+        False,
+    ),
+    (
+        "אין כאן מידע אישי, רק תוכן רגיל על טכנולוgia ומדע.",
+        "אין כאן מידע אישי, רק תוכן רגיל על טכנולוgia ומדע.",
+        False,
+    ),
+]
+
+
+@pytest.mark.parametrize("text,expected,has_pii", CASES)
+def test_reference_corpus_pinned(text, expected, has_pii):
+    r = scrub_text(text)
+    assert r.scrubbed == expected
+    assert r.has_pii is has_pii
+
+
+def test_every_email_and_every_negative():
+    for text, expected, _ in CASES:
+        if "@" in text:
+            assert "[EMAIL_REDACTED]" in scrub_text(text).scrubbed
+    # negatives pass through byte-identically
+    for text, expected, has_pii in CASES:
+        if not has_pii:
+            assert scrub_text(text).scrubbed == text
