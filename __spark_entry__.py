@@ -649,6 +649,26 @@ def q_doc_scrub_nosql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_entity_stats_nosql(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's analyze_text aggregates (A1/A2: entity counts by type
+    + PII char ratio) over the scrubbed documents corpus — entities come from
+    the UDF, the statistics stay JVM-side (explode + aggregate HOF)."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    dec = docs.withColumn("_s", scrub_udf(F.col("text"))).select(
+        "lang", F.col("_s.entities").alias("entities"),
+    )
+    return (
+        dec.select("lang", F.explode("entities").alias("e"))
+        .groupBy("lang", F.col("e.entity_type").alias("entity_type"))
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.sum(F.length("e.text")).alias("pii_chars"),
+        )
+    )
+
+
 def q_embedding_lsh_nosql(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path: seeded random-hyperplane LSH bucket histogram."""
     from pii_redactor_spark.operators.similarity import lsh_bucket_histogram
@@ -702,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
         "doc_scrub_nosql": q_doc_scrub_nosql,
+        "doc_entity_stats_nosql": q_doc_entity_stats_nosql,
         "embedding_lsh_nosql": q_embedding_lsh_nosql,
         "embedding_ivf_nosql": q_embedding_ivf_nosql,
     }
