@@ -660,11 +660,18 @@ def q_doc_entity_stats_nosql(spark: SparkSession, sf: str) -> DataFrame:
         "lang", F.col("_s.entities").alias("entities"),
     )
     return (
-        dec.select("lang", F.explode("entities").alias("e"))
-        .groupBy("lang", F.col("e.entity_type").alias("entity_type"))
+        dec.select("lang", F.explode_outer("entities").alias("e"))
+        .groupBy(
+            "lang",
+            F.coalesce(F.col("e.entity_type"), F.lit("NONE")).alias(
+                "entity_type"
+            ),
+        )
         .agg(
-            F.count("*").alias("n_entities"),
-            F.sum(F.length("e.text")).alias("pii_chars"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.coalesce(F.length("e.text"), F.lit(0))
+            ).alias("pii_chars"),
         )
     )
 
