@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash — the training-data
+pipeline's near-dup stack, built entirely from JVM-side primitives.
+
+Scale shape (10^12 rows):
+
+* exact:    one hash-groupBy shuffle on a content fingerprint.
+* MinHash:  signatures are per-row narrow work (higher-order functions over
+            the shingle array, xxhash64 with per-permutation seeds — stable,
+            seeded, no UDF); LSH banding explodes each row into `bands`
+            (band_id, band_hash) keys and candidate pairs come from
+            equi-joins inside band buckets — the only shuffle is keyed on
+            the band hash, so the candidate set (not n^2) drives cost.
+* SimHash:  64-bit fingerprint via explode + 64 partial-agg vote sums (one
+            shuffle keyed on doc id); near-dup candidates by the pigeonhole
+            band trick — hamming distance <= 3 guarantees one of 4 16-bit
+            chunks matches exactly, so candidates come from 4 equi-joins.
+
+Every approximate path ends in `exact_jaccard` verification of candidates —
+the filter-then-verify contract the exact all-pairs query pins at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-group statistics by content hash (md5)."""
+    return (
+        df.withColumn("fp", F.md5(text_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .agg(
+            F.count("*").alias("dup_groups"),
+            F.coalesce(F.sum("n_copies"), F.lit(0)).alias("dup_docs"),
+        )
+    )
+
+
+def dedupe_exact(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per content hash: the min id (deterministic
+    under any parallelism, unlike dropDuplicates which keeps an arbitrary
+    row)."""
+    w_min = (
+        df.withColumn("fp", F.md5(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# --- shingling ---------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingle array per row (JVM higher-order fns)."""
+    toks = f"split({text_col}, ' ')"
+    gram = " , ".join(f"element_at(split({text_col}, ' '), i + {j})"
+                      for j in range(k))
+    return df.where(F.expr(f"size({toks}) >= {k}")).withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
+            f" i -> concat_ws(' ', {gram})))"
+        ),
+    )
+
+
+# --- MinHash-LSH -------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """n_hashes-permutation MinHash signature as an array<bigint>.
+
+    Permutation i = xxhash64 with seed i (stable across runs/executors);
+    min over the shingle set per permutation."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Rows whose signatures agree on ALL rows of at least one band collide;
+    with n_hashes=64, bands=16 (r=4) the collision curve crosses ~50% around
+    Jaccard 0.5.  Output: (id_a, id_b) distinct, id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col("shingles"), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (the second
+    stage of filter-then-verify)."""
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("_id"), "shingles"
+    )
+    return (
+        candidates.join(sh.withColumnRenamed("shingles", "sh_a"),
+                        candidates.id_a == sh._id)
+        .drop("_id")
+        .join(
+            with_shingles(df, text_col, k).select(
+                F.col(id_col).alias("_id"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            candidates.id_b == F.col("_id"),
+        )
+        .drop("_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per row: explode tokens, xxhash64 each, one hash-agg
+    of 64 +/-1 vote sums keyed on the row id, recombine sign bits."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    bits = None
+    for b in range(64):
+        term = F.when(F.col(f"s{b}") > 0,
+                      F.lit(1).cast("long") * F.lit(2 ** b if b < 63
+                                                    else -(2 ** 63))
+                      ).otherwise(F.lit(0).cast("long"))
+        bits = term if bits is None else bits + term
+    return votes.select(F.col("_id").alias(id_col), bits.alias("simhash"))
+
+
+def simhash_candidates(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming + 1) chunks; any
+    pair within distance max_hamming agrees exactly on >= 1 chunk, so
+    candidates come from chunk-equality joins, then the exact popcount
+    filter runs only on collisions."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = sim.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "simhash", "cc.chunk", "cc.cval")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,111 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash with planted near-dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.operators.dedup import (
+    dedupe_exact,
+    exact_dedup_stats,
+    exact_jaccard,
+    minhash_lsh_candidates,
+    simhash64,
+    simhash_candidates,
+    with_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun near the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 3 exact copies of doc 0
+    for i in range(3):
+        rows.append((f"d{i:03d}", BASE))
+    # near-dup: one word changed
+    rows.append(("d100", BASE.replace("lazy", "sleepy")))
+    # near-dup: word appended
+    rows.append(("d101", BASE + " today"))
+    # unrelated docs
+    for i, txt in enumerate(
+        [
+            "completely different content about distributed query engines",
+            "spark partitions shuffle data across executors for joins",
+            "parquet files store columns with predicate pushdown support",
+            "image captions travel as binary columns with typed metadata",
+        ]
+    ):
+        rows.append((f"d2{i:02d}", txt))
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_exact_dedup_stats_and_dedupe(spark, corpus):
+    stats = exact_dedup_stats(corpus).collect()[0]
+    assert stats["dup_groups"] == 1
+    assert stats["dup_docs"] == 3
+    deduped = dedupe_exact(corpus)
+    assert deduped.count() == corpus.count() - 2
+    # deterministic representative: the min doc_id survives
+    kept = {r["doc_id"] for r in deduped.collect()}
+    assert "d000" in kept and "d001" not in kept and "d002" not in kept
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, corpus):
+    cand = minhash_lsh_candidates(corpus).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    # exact copies and both near-dups must collide in some band
+    assert ("d000", "d001") in pairs
+    assert ("d000", "d100") in pairs
+    assert ("d000", "d101") in pairs
+    # unrelated docs must not pair with the BASE cluster
+    base_cluster = {"d000", "d001", "d002", "d100", "d101"}
+    for a, b in pairs:
+        assert (a in base_cluster) == (b in base_cluster), (a, b)
+
+
+def test_filter_then_verify_contract(spark, corpus):
+    cand = minhash_lsh_candidates(corpus)
+    verified = exact_jaccard(cand, corpus)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert jac[("d000", "d001")] == 1.0           # exact copies
+    assert jac[("d000", "d100")] > 0.7            # one-word edit
+    assert all(j > 0.5 for j in jac.values())     # candidates are real
+
+
+def test_simhash_exact_copies_and_neardups(spark, corpus):
+    sim = simhash64(corpus)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals["d000"] == vals["d001"] == vals["d002"]
+    cands = simhash_candidates(sim, max_hamming=6).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands}
+    assert pairs[("d000", "d001")] == 0
+    assert ("d000", "d100") in pairs  # one-word edit stays within hamming 6
+    # unrelated docs don't enter the base cluster
+    base_cluster = {"d000", "d001", "d002", "d100", "d101"}
+    for a, b in pairs:
+        assert (a in base_cluster) == (b in base_cluster), (a, b)
+
+
+def test_shingles_deterministic(spark, corpus):
+    a = with_shingles(corpus).select("doc_id", "shingles").collect()
+    b = with_shingles(corpus).select("doc_id", "shingles").collect()
+    assert sorted((r["doc_id"], tuple(r["shingles"])) for r in a) == sorted(
+        (r["doc_id"], tuple(r["shingles"])) for r in b
+    )
+
+
+def test_minhash_scales_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cand = minhash_lsh_candidates(docs)
+    verified = exact_jaccard(cand, docs)
+    # sanity at corpus scale: every surviving pair has meaningful overlap
+    low = verified.where(F.col("jaccard") < 0.05).count()
+    total = verified.count()
+    assert total >= 0
+    if total:
+        assert low / total < 0.9  # banding concentrates on real overlap
