@@ -289,6 +289,59 @@ def q_events_running_total(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: gap > 1800 s opens a new session (lag + running sum
+    of boundaries — the batch form of a session window)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+    gaps = ev.withColumn(
+        "new_session",
+        (prev.isNull() | ((epoch - prev) > 1800)).cast("int"),
+    )
+    sess = gaps.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_part_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """part + supplier joins (the two remaining testdata tables): revenue by
+    part brand and supplier nation, dims broadcast."""
+    part = F.broadcast(_t(spark, sf, "part"))
+    supp = F.broadcast(_t(spark, sf, "supplier"))
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis, regex, dedup
 # ---------------------------------------------------------------------------
@@ -714,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_user_gaps": q_events_user_gaps,
         "events_running_total": q_events_running_total,
+        "events_sessions": q_events_sessions,
+        "part_supplier_revenue": q_part_supplier_revenue,
         "doc_lang_stats": q_doc_lang_stats,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality_filter": q_doc_quality_filter,
@@ -878,6 +933,43 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW), 2) AS running_value
             FROM events
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id, value,
+                       CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id))
+                                > 1800
+                            OR LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_session,
+                       ts, event_id
+                FROM events
+            ), sess AS (
+                SELECT user_id, value,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS session_no
+                FROM gaps
+            ), per_session AS (
+                SELECT user_id, session_no, COUNT(*) AS n_events,
+                       ROUND(SUM(value), 2) AS session_value
+                FROM sess GROUP BY user_id, session_no
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   ROUND(AVG(n_events), 4) AS avg_events_per_session,
+                   ROUND(SUM(session_value), 2) AS total_value
+            FROM per_session GROUP BY user_id
+        """,
+        "part_supplier_revenue": """
+            SELECT p_brand, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY p_brand, n_name
         """,
         "doc_lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,
