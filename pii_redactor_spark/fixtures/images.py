@@ -151,26 +151,37 @@ def write_fixture_tables(
     parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
     base = spark.range(0, n_rows, 1, parts)
 
-    def gen_images(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen_combined(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             ids = [f"img{int(i):012d}" for i in pdf["id"]]
-            images, _ = generate_batch(ids, cfg)
-            yield images
-
-    def gen_labels(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            ids = [f"img{int(i):012d}" for i in pdf["id"]]
-            _, labels = generate_batch(ids, cfg)
+            images, labels = generate_batch(ids, cfg)
+            labels = labels.drop(columns=["image_id"])
             labels["entities"] = labels["entities"].map(
                 lambda es: [
                     (e["entity_type"], e["text"], e["start"], e["end"])
                     for e in es
                 ]
             )
-            yield labels
+            yield pd.concat([images, labels], axis=1)
 
     images_path = f"{out_dir}/images"
     labels_path = f"{out_dir}/labels"
+    staging_path = f"{out_dir}/_staging"
+    combined_schema = (
+        IMAGES_SCHEMA + ", " + LABELS_SCHEMA.split(", ", 1)[1]
+    )
+    # ONE generation pass into a staging table (generation is the expensive
+    # part — pixels + PNG encode); images/labels are cheap projections of it.
+    base.mapInPandas(gen_combined, schema=combined_schema).write.mode(
+        "overwrite"
+    ).parquet(staging_path)
+    staging = spark.read.parquet(staging_path)
+
+    image_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                  "phash_prefix"]
+    label_cols = ["image_id", "lang_expected", "kind", "keep_expected",
+                  "has_pii_expected", "scrubbed_expected",
+                  "scrubbed_expected_simple", "entities"]
     # Cluster rows by phash_prefix BEFORE the partitioned write: without the
     # shuffle every task holds rows of every prefix and the dynamic write
     # emits tasks x prefixes tiny files (the small-files bomb — measured 96 s
@@ -179,15 +190,14 @@ def write_fixture_tables(
     # of reduce tasks.
     n_write_tasks = max(parts // 4, 8)
     (
-        base.mapInPandas(gen_images, schema=IMAGES_SCHEMA)
+        staging.select(*image_cols)
         .repartition(n_write_tasks, "phash_prefix")
         .write.mode("overwrite")
         .partitionBy("phash_prefix")
         .parquet(images_path)
     )
-    (
-        base.mapInPandas(gen_labels, schema=LABELS_SCHEMA)
-        .write.mode("overwrite")
-        .parquet(labels_path)
-    )
+    staging.select(*label_cols).write.mode("overwrite").parquet(labels_path)
+    import shutil
+
+    shutil.rmtree(staging_path, ignore_errors=True)
     return images_path, labels_path

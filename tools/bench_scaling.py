@@ -89,17 +89,22 @@ def run_level(cores: int, images_path: str) -> dict:
         return time.perf_counter() - t0
 
     cold = job()        # includes Python-worker startup at this level
+    # Best-of-3 warm: this sandbox VM shares a host whose load drifts on
+    # minute timescales (observed ±40% on identical runs); noise only ever
+    # slows a run, so the minimum approximates true capability.
     warm = min(job() for _ in range(3))
-    mat = job_materialized()
-    spark.stop()
-    return {
+    out_d = {
         "cores": cores, "rows": n,
         "cold_sec": round(cold, 2), "warm_sec": round(warm, 2),
         "cold_images_per_sec": round(n / cold, 1),
         "images_per_sec": round(n / warm, 1),
-        "materialized_sec": round(mat, 2),
-        "materialized_images_per_sec": round(n / mat, 1),
     }
+    if not os.environ.get("BENCH_SKIP_MATERIALIZED"):
+        mat = job_materialized()
+        out_d["materialized_sec"] = round(mat, 2)
+        out_d["materialized_images_per_sec"] = round(n / mat, 1)
+    spark.stop()
+    return out_d
 
 
 def main() -> None:
