@@ -31,7 +31,9 @@ ROWS = int(os.environ.get("BENCH_ROWS", "400000"))
 FIXTURE = os.environ.get(
     "BENCH_FIXTURE", f"/root/repo/.cache/bench_fx_{ROWS}"
 )
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("BENCH_LEVELS", "8,32").split(",")
+)
 
 
 def ensure_fixture() -> str:
