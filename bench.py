@@ -29,8 +29,11 @@ HEADLINE = [
     "top_customers_per_nation",
     "events_hourly",
     "events_running_total",
+    "events_sessions",
     "doc_minhash_buckets",
+    "doc_simhash_buckets",
     "doc_exact_dedup",
+    "part_supplier_revenue",
     "embedding_topk",
     "embedding_lsh_nosql",
 ]
