@@ -826,8 +826,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_per_nation": """
             SELECT c_nationkey, c_custkey, rnk, acctbal FROM (
                 SELECT c_nationkey, c_custkey,
-                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                                          ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk,
                        ROUND(c_acctbal, 2) AS acctbal
                 FROM customer
             ) WHERE rnk <= 3
@@ -910,7 +910,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "events_hourly": """
-            SELECT STRFTIME(ts, '%Y-%m-%d') AS day, HOUR(ts) AS hour, event_type,
+            SELECT STRFTIME(ts, '%Y-%m-%d') AS day, CAST(HOUR(ts) AS INT) AS hour, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY day, hour, event_type
@@ -1127,8 +1127,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_topk": """
             SELECT e.vec_id, e.label,
-                   ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 6)
-                       AS cosine
+                   ROUND(CAST(LIST_COSINE_SIMILARITY(e.embedding, q.embedding)
+                              AS DOUBLE), 6) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings
                                 WHERE vec_id = 0) q
             WHERE e.vec_id != 0

@@ -89,6 +89,15 @@ def main():
             continue
         sn, sc, sh, srows = frame_fingerprint(sdf)
         on_, oc, oh, orows = frame_fingerprint(odf)
+        # dtype comparison (schema strictness insurance): int-width families
+        for c in sorted(set(sdf.columns) & set(odf.columns)):
+            a, b = str(sdf[c].dtype), str(odf[c].dtype)
+            fam = lambda d: ("int" if "int" in d else
+                             "float" if "float" in d or "double" in d else d)
+            if fam(a) == fam(b) and a != b:
+                print(f"     dtype-width {name}.{c}: spark={a} duckdb={b}")
+            elif fam(a) != fam(b):
+                print(f"     DTYPE-FAMILY {name}.{c}: spark={a} duckdb={b}")
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")
             failures.append(name)
