@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> None:
     # Import AFTER spark-submit has placed --py-files on sys.path.
     from pyspark.sql import SparkSession
 
-    from pii_redactor_spark.pipeline.run import run_pipeline, scrub_decisions
+    from pii_redactor_spark.pipeline.run import run_pipeline
 
     spark = (
         SparkSession.builder.appName("pii-scrub")
@@ -52,21 +52,19 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     t0 = time.perf_counter()
-    if args.mode == "decisions":
-        src = spark.read.parquet(args.input)
-        result = scrub_decisions(src, salt_partitions=args.salt_partitions)
-        result.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        summary = {"mode": "decisions", "rows": n}
-    else:
-        summary = run_pipeline(
-            spark,
-            args.input,
-            args.output,
-            prefixes_per_commit=args.prefixes_per_commit,
-            salt_partitions=args.salt_partitions,
-        )
-        summary["mode"] = "materialize"
+    # Both modes run the resumable partition-committed lineage loop
+    # (pipeline/run.py); `decisions` additionally never reads or writes the
+    # image bytes (column-pruned — the at-scale default).
+    summary = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        prefixes_per_commit=args.prefixes_per_commit,
+        salt_partitions=args.salt_partitions,
+        materialize_bytes=(args.mode == "materialize"),
+    )
+    summary["mode"] = args.mode
+    summary["rows"] = summary["n_in"]
     summary["wall_sec"] = round(time.perf_counter() - t0, 2)
     print("SCRUB_JOB_SUMMARY " + json.dumps(summary))
     spark.stop()

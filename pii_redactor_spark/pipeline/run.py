@@ -96,11 +96,15 @@ def run_pipeline(
     salt_partitions: int | None = None,
     fail_after_groups: int | None = None,
     run_id: str | None = None,
+    materialize_bytes: bool = True,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
-    ``fail_after_groups`` injects a crash after N committed groups (for the
-    resume test, FIXTURES.md §4).
+    ``materialize_bytes=False`` is the at-scale form: the same partition-
+    committed lineage loop, but each group runs the column-pruned
+    decisions-only transform (bytes never read, never written) — resumable
+    AND pixel-free, per the north rule.  ``fail_after_groups`` injects a
+    crash after N committed groups (for the resume test, FIXTURES.md §4).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     data_path = f"{out_dir}/data"
@@ -124,16 +128,22 @@ def run_pipeline(
             raise RuntimeError(f"injected failure before group {gi}")
 
         part = src.where(F.col("phash_prefix").isin(group))
-        result = scrub_images(part, salt_partitions=salt_partitions)
-        out = (
-            result.withColumn("caption_raw", F.col("caption"))
-            .withColumn("caption", F.col("scrubbed"))
-            # Partition dirs carry an int 0/1 (partition-column values read
-            # back as strings; booleans don't round-trip) while `keep` stays
-            # a typed data column.
-            .withColumn("keep_part", F.col("keep").cast("int"))
-        )
-        storage.write_partitioned(out, data_path, ["phash_prefix", "keep_part"])
+        if materialize_bytes:
+            result = scrub_images(part, salt_partitions=salt_partitions)
+            out = (
+                result.withColumn("caption_raw", F.col("caption"))
+                .withColumn("caption", F.col("scrubbed"))
+                # Partition dirs carry an int 0/1 (partition-column values
+                # read back as strings; booleans don't round-trip) while
+                # `keep` stays a typed data column.
+                .withColumn("keep_part", F.col("keep").cast("int"))
+            )
+            storage.write_partitioned(
+                out, data_path, ["phash_prefix", "keep_part"]
+            )
+        else:
+            result = scrub_decisions(part, salt_partitions=salt_partitions)
+            storage.write_partitioned(result, data_path, ["phash_prefix"])
 
         # Counters from the *written* data (column-pruned read; never re-runs
         # the UDF and never touches bytes).

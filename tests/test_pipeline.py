@@ -132,6 +132,33 @@ def test_lineage_counters_match(spark, pipeline_out):
     assert 0.05 < summary["n_dropped"] / N_ROWS < 0.25
 
 
+def test_decisions_mode_resumable_and_byte_free(spark, tmp_root, fixture_tables):
+    """The at-scale mode: same lineage loop, no bytes read or written."""
+    images_path, labels_path = fixture_tables
+    out = f"{tmp_root}/out_decisions"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, images_path, out, prefixes_per_commit=20,
+            fail_after_groups=1, materialize_bytes=False,
+        )
+    summary = run_pipeline(
+        spark, images_path, out, prefixes_per_commit=20,
+        materialize_bytes=False,
+    )
+    assert summary["resumed_skipped"] > 0
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == N_ROWS
+    assert "bytes" not in data.columns
+    assert data.groupBy("image_id").count().where(
+        F.col("count") > 1).count() == 0
+    # decisions agree with the oracle labels (same gate as materialized)
+    labels = spark.read.parquet(labels_path)
+    bad = data.join(labels, "image_id").where(
+        F.col("scrubbed") != F.col("scrubbed_expected")
+    ).count()
+    assert bad == 0
+
+
 def test_resume_after_crash(spark, tmp_root, fixture_tables):
     images_path, _ = fixture_tables
     out = f"{tmp_root}/out_resume"

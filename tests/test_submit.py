@@ -66,10 +66,12 @@ def test_submit_decisions_mode(spark, small_images, pyfiles_zip, tmp_root):
         cwd=tmp_root,
     )
     assert summary["rows"] == 300
-    df = spark.read.parquet(out)
+    df = spark.read.parquet(f"{out}/data")
     assert df.count() == 300
     assert "scrubbed" in df.columns and "keep" in df.columns
     assert "bytes" not in df.columns  # decisions table carries no pixels
+    metrics = spark.read.parquet(f"{out}/metrics")  # lineage in both modes
+    assert metrics.agg({"n_in": "sum"}).collect()[0][0] == 300
 
 
 def test_submit_materialize_mode(spark, small_images, pyfiles_zip, tmp_root):
