@@ -188,6 +188,27 @@ def run_pipeline(
     }
 
 
+def apply_decisions(src: DataFrame, decisions: DataFrame) -> DataFrame:
+    """Consume a decisions table against the untouched source: keep only
+    kept rows and swap in the scrubbed caption — the join the decisions
+    architecture promises instead of rewriting 100 TB of pixels.
+
+    Both sides carry ``phash_prefix``, so the join key includes it: with the
+    source partitioned (and/or both sides bucketed — `storage.write_bucketed`)
+    the join co-locates by the same key and prunes partitions; AQE picks
+    broadcast when the kept set is small.
+    """
+    kept = decisions.where(F.col("keep")).select(
+        "image_id", "phash_prefix", "scrubbed"
+    )
+    return (
+        src.join(kept, ["image_id", "phash_prefix"])
+        .withColumn("caption_raw", F.col("caption"))
+        .withColumn("caption", F.col("scrubbed"))
+        .drop("scrubbed")
+    )
+
+
 def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:
     """Partition-pruned read of kept rows (keep_part is a partition dir)."""
     return storage.read_table(spark, f"{out_dir}/data").where(

@@ -45,6 +45,27 @@ def append_table(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed managed table (hash-bucketed by ``bucket_cols``).
+
+    Two tables bucketed identically join WITHOUT a shuffle — the physical
+    plan's SortMergeJoin has no Exchange on either side (pinned by
+    tests/test_bucketing.py).  At 100 TB this is how the decisions table
+    joins back to the source for free; with Iceberg the same contract is the
+    bucket partition transform.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 # --- Manifest (Iceberg snapshot stand-in) -----------------------------------
 
 def manifest_path(table_path: str) -> str:
