@@ -97,6 +97,7 @@ def run_pipeline(
     fail_after_groups: int | None = None,
     run_id: str | None = None,
     materialize_bytes: bool = True,
+    fail_before_snapshot: int | None = None,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
@@ -168,6 +169,13 @@ def run_pipeline(
         )
         storage.append_table(lineage, metrics_path)
 
+        if fail_before_snapshot is not None and gi >= fail_before_snapshot:
+            # crash window between lineage append and snapshot commit: the
+            # group is NOT committed, so resume redoes it (idempotent data
+            # overwrite) and appends lineage AGAIN — which is why lineage
+            # consumers must read through read_lineage (latest per part).
+            raise RuntimeError(f"injected failure before snapshot {gi}")
+
         agg = counters.agg(
             F.sum("n_in"), F.sum("n_kept"), F.sum("n_dropped"),
             F.sum("n_entities"),
@@ -186,6 +194,28 @@ def run_pipeline(
         "resumed_skipped": len(done), "processed_groups": len(groups),
         **total,
     }
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Authoritative per-partition lineage: latest row per (stage, part_id).
+
+    The commit protocol is data -> lineage append -> snapshot; a crash inside
+    that window leaves an orphan lineage row whose group was never committed,
+    and the resumed run appends a fresh one.  Raw `{out}/metrics` is
+    append-only history; THIS view (last writer per partition wins) is what
+    counters and audits must read.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stage", "part_id").orderBy(
+        F.col("committed_at").desc()
+    )
+    return (
+        storage.read_table(spark, f"{out_dir}/metrics")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def apply_decisions(src: DataFrame, decisions: DataFrame) -> DataFrame:
