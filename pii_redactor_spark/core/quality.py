@@ -168,6 +168,30 @@ def heuristics_batch(
     distinct_ratio = np.ones(n)
     symbol_density = np.zeros(n)
     stopword_cov = np.zeros(n)
+    # Vectorized symbol counting: one flat codepoint array for the batch,
+    # an is-symbol verdict computed once per DISTINCT codepoint (batches
+    # reuse a small alphabet), then a per-text bincount.  Exactly equivalent
+    # to per-char `not ch.isalnum() and not ch.isspace()`.
+    # payload NULs -> \x01: keeps separator alignment, and \x01 has the same
+    # is-symbol verdict as \x00 (neither alnum nor space), so counts match
+    # the per-char original exactly.
+    joined = "\x00".join((t or "").replace("\x00", "\x01") for t in texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if len(codes):
+        uniq, inv = np.unique(codes, return_inverse=True)
+        is_sym = np.fromiter(
+            (
+                c != 0 and not chr(c).isalnum() and not chr(c).isspace()
+                for c in uniq
+            ),
+            dtype=bool, count=len(uniq),
+        )
+        text_id = np.cumsum(codes == 0)
+        sym_counts = np.bincount(
+            text_id[is_sym[inv]], minlength=n
+        ) if is_sym.any() else np.zeros(n, dtype=np.int64)
+    else:
+        sym_counts = np.zeros(n, dtype=np.int64)
     for i, text in enumerate(texts):
         t = text or ""
         n_chars[i] = len(t)
@@ -178,8 +202,7 @@ def heuristics_batch(
             distinct_ratio[i] = len(set(lowered)) / len(toks)
             stopword_cov[i] = sum(w in _ALL_STOPWORDS for w in lowered) / len(toks)
         if t:
-            sym = sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
-            symbol_density[i] = sym / len(t)
+            symbol_density[i] = sym_counts[i] / len(t)
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
