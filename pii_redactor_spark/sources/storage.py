@@ -60,6 +60,17 @@ def write_bucketed(
     joins back to the source for free; with Iceberg the same contract is the
     bucket partition transform.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session's warehouse dir may survive without a catalog entry
+    # (in-memory metastore) — clear it or saveAsTable refuses the location
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    import shutil
+
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
