@@ -11,14 +11,66 @@ offsets into the original text, non-overlapping, sorted by start.  Overlaps
 are resolved longest-span-wins (ties: bank order), matching the intuition of
 the reference's BIO decoding where one token belongs to exactly one entity
 (``src/inference.py:283-354``).
+
+Confidence: the reference's ``PIIEntity`` carries a per-span ``confidence``
+(min over token probabilities, ``src/inference.py:34-52,338``) and spans
+below ``confidence_threshold`` (default 0.5) are dropped before assembly
+(``src/inference.py:313-318``).  A rules detector has no logits, so the
+analog is *pattern specificity*: how unlikely the pattern is to fire on
+non-PII text.  Fully-structured formats (e-mail, SSN, credit card) score
+high; ambiguous shapes (bare 9-digit runs, generic dates) score low; the
+gazetteer banks sit between (exact-vocabulary match, but common words can
+collide).  All defaults are >= 0.5 so the reference-parity corpus is
+byte-identical at the default threshold; raising the threshold trades
+recall for precision exactly as in the reference.
 """
 
 from __future__ import annotations
 
 import re
 
-from .gazetteers import GAZETTEER_PATTERNS
+from .gazetteers import (
+    GAZETTEER_PATTERNS,
+    HE_ADDRESS_PATTERN,
+    HE_NAME_PATTERN,
+    LATIN_ADDRESS_PATTERN,
+    LATIN_NAME_PATTERN,
+)
 from .patterns import COMPILED_DETECT
+
+DEFAULT_CONFIDENCE_THRESHOLD = 0.5  # reference: inference.py:68
+
+# Pattern-specificity scores for the structured bank, keyed by the exact
+# pattern string (every DETECT_STRUCTURED entry must appear; import-time
+# assert below).  Scale: ~1.0 = the pattern essentially never fires on
+# non-PII text, ~0.6 = plausible false positives exist.
+_STRUCTURED_CONFIDENCE: dict[str, float] = {
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b": 0.99,  # EMAIL
+    r"\b\d{3}-\d{3}-\d{4}\b": 0.95,           # PHONE 3-3-4
+    r"\(\d{3}\)\s?\d{3}-\d{4}": 0.97,         # PHONE (area) 3-4
+    r"\+\d{1,3}[-.\s]?\d{6,14}\b": 0.90,      # PHONE intl
+    r"\b0\d{1,2}-\d{7,8}\b": 0.92,            # PHONE IL
+    r"\b\d{2}-\d{3}-\d{4}\b": 0.88,           # PHONE EU 2-3-4
+    r"\b\d{2}(?:-\d{2}){4}\b": 0.92,          # PHONE FR pairs
+    r"\b\d{3}-\d{2}-\d{4}\b": 0.95,           # SSN
+    r"\b\d{9}\b": 0.65,                       # bare 9 digits (ambiguous)
+    r"\b\d{4}[-\s]\d{4}[-\s]\d{4}[-\s]\d{4}\b": 0.97,       # credit card
+    r"\*{4}[-\s]?\*{4}[-\s]?\*{4}[-\s]?\d{4}\b": 0.99,      # masked card
+    r"\b[A-Z]{2}\d{7}\b": 0.85,               # passport
+    r"\b[A-Z]{2}\d{14}\b": 0.90,              # IBAN-like
+    r"\b\d{2}-\d{3}-\d{6}\b": 0.90,           # IL bank account
+    r"\b\d{3}-\d{2}-\d{3}\b": 0.85,           # plate 3-2-3
+    r"\b\d{2}-\d{3}-\d{2}\b(?!-)": 0.85,      # plate 2-3-2
+    r"\b[A-Z]{2}\d{3}[A-Z]{2}\b": 0.85,       # EU plate
+    r"\b\d{1,2}[/.\-]\d{1,2}[/.\-]\d{2,4}\b": 0.70,  # date (often non-PII)
+}
+# The Hebrew-month date is appended programmatically; give it the same score
+# as the numeric date.
+_DATE_HE_CONFIDENCE = 0.70
+_GAZ_CONFIDENCE = {
+    "ADDRESS": 0.90,  # number + street + city from gazetteer: very specific
+    "NAME": 0.80,     # exact vocabulary pair, but names are common words
+}
 
 _HAS_DIGIT = re.compile(r"\d").search
 _HAS_UPPER = re.compile(r"[A-Z]").search
@@ -32,10 +84,29 @@ _HAS_HEBREW = re.compile(r"[א-ת]").search
 # Bank iteration order (ADDRESS->NAME gazetteers, then EMAIL, then the digit
 # patterns in COMPILED_DETECT order) is preserved: `order` tiebreaks equal-
 # length overlaps, and a skipped bank contributes no candidates anyway.
-_DETECT_DIGIT = [(t, p) for t, p in COMPILED_DETECT if t != "EMAIL"]
-_DETECT_EMAIL = [(t, p) for t, p in COMPILED_DETECT if t == "EMAIL"]
+def _confidence_for(pattern: re.Pattern) -> float:
+    if pattern.pattern in _STRUCTURED_CONFIDENCE:
+        return _STRUCTURED_CONFIDENCE[pattern.pattern]
+    return _DATE_HE_CONFIDENCE  # the appended Hebrew-month date pattern
+
+
+_DETECT_DIGIT = [(t, p, _confidence_for(p))
+                 for t, p in COMPILED_DETECT if t != "EMAIL"]
+_DETECT_EMAIL = [(t, p, _confidence_for(p))
+                 for t, p in COMPILED_DETECT if t == "EMAIL"]
 assert all("\\d" in p.pattern or re.search(r"\d", p.pattern)
-           for _, p in _DETECT_DIGIT)
+           for _, p, _c in _DETECT_DIGIT)
+# Every structured pattern must have an explicit confidence (the Hebrew-date
+# fallback applies to exactly one programmatically-built pattern).
+assert sum(1 for _, p in COMPILED_DETECT
+           if p.pattern not in _STRUCTURED_CONFIDENCE) == 1
+
+# Pin the gazetteer bank order the positional guards below assume (the guard
+# table would silently mispair if GAZETTEER_PATTERNS were reordered/extended).
+assert [p for _, p in GAZETTEER_PATTERNS] == [
+    HE_ADDRESS_PATTERN, LATIN_ADDRESS_PATTERN,
+    HE_NAME_PATTERN, LATIN_NAME_PATTERN,
+], "GAZETTEER_PATTERNS order changed — update _GAZ_GUARDS to match"
 
 _GAZ_GUARDS = {
     # both address grammars contain a mandatory house number
@@ -46,17 +117,24 @@ _GAZ_GUARDS = {
 }
 
 
-def detect_spans(text: str) -> list[tuple[int, int, str]]:
+def detect_spans(
+    text: str,
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+) -> list[tuple[int, int, str, float]]:
     """Find all PII spans in ``text``.
 
-    Returns a list of ``(start, end, entity_type)`` with no overlaps,
-    sorted by start offset.
+    Returns a list of ``(start, end, entity_type, confidence)`` with no
+    overlaps, sorted by start offset.  Candidates below
+    ``confidence_threshold`` are dropped before overlap resolution,
+    mirroring the reference's low-confidence token skip
+    (``src/inference.py:313-318``).
     """
     if not text:
         return []
 
     banks = [
-        tp for i, tp in enumerate(GAZETTEER_PATTERNS)
+        (t, p, _GAZ_CONFIDENCE[t])
+        for i, (t, p) in enumerate(GAZETTEER_PATTERNS)
         if _GAZ_GUARDS[i](text)
     ]
     if "@" in text:
@@ -64,11 +142,16 @@ def detect_spans(text: str) -> list[tuple[int, int, str]]:
     if _HAS_DIGIT(text):
         banks += _DETECT_DIGIT
 
-    candidates: list[tuple[int, int, int, str]] = []  # (start, -len, order, type)
+    # (start, -len, order, type, conf)
+    candidates: list[tuple[int, int, int, str, float]] = []
     order = 0
-    for etype, pattern in banks:
+    for etype, pattern, conf in banks:
+        if conf < confidence_threshold:
+            continue
         for m in pattern.finditer(text):
-            candidates.append((m.start(), -(m.end() - m.start()), order, etype))
+            candidates.append(
+                (m.start(), -(m.end() - m.start()), order, etype, conf)
+            )
             order += 1
 
     if not candidates:
@@ -77,11 +160,11 @@ def detect_spans(text: str) -> list[tuple[int, int, str]]:
     # Longest-span-wins overlap resolution: consider candidates by descending
     # length (then discovery order), keep those not overlapping a kept span.
     candidates.sort(key=lambda c: (c[1], c[2]))
-    kept: list[tuple[int, int, str]] = []
-    for start, neg_len, _, etype in candidates:
+    kept: list[tuple[int, int, str, float]] = []
+    for start, neg_len, _, etype, conf in candidates:
         end = start - neg_len
-        if all(end <= ks or start >= ke for ks, ke, _ in kept):
-            kept.append((start, end, etype))
+        if all(end <= ks or start >= ke for ks, ke, _t, _c in kept):
+            kept.append((start, end, etype, conf))
 
     kept.sort(key=lambda s: s[0])
     return kept

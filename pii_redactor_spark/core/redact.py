@@ -52,12 +52,24 @@ def adjust_boundaries(
 
 
 def redact_typed(
-    text: str, spans: list[Span], replacement: str = DEFAULT_MASK
+    text: str,
+    spans: list[Span],
+    replacement: str = DEFAULT_MASK,
+    preserve_format: bool = True,
 ) -> str:
-    """Typed-mask redaction.  Reference: inference.py:356-403."""
+    """Typed-mask redaction.  Reference: inference.py:356-403.
+
+    ``preserve_format=True`` (the reference default) uses type-specific
+    masks for NAME/EMAIL/PHONE/ID_NUMBER and ``replacement`` otherwise;
+    ``preserve_format=False`` masks *every* span with ``replacement``
+    (inference.py:380-394's else branch).
+    """
     result = text
     for start, end, etype in sorted(spans, key=lambda s: s[0], reverse=True):
-        mask = TYPED_MASKS.get(etype, replacement)
+        mask = (
+            TYPED_MASKS.get(etype, replacement) if preserve_format
+            else replacement
+        )
         result = result[:start] + mask + result[end:]
     return result
 

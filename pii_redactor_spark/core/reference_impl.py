@@ -16,8 +16,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .classify import classify_entity
-from .detect import detect_spans
+from .detect import DEFAULT_CONFIDENCE_THRESHOLD, detect_spans
 from .langid import classify_batch
+from .patterns import DEFAULT_MASK
 from .quality import DEFAULT_QUALITY, QualityConfig, quality_flags_batch
 from .redact import redact_simple, redact_typed
 
@@ -37,24 +38,31 @@ class ScrubResult:
     has_pii: bool = False       # "did redaction change the text" (test_inference.py:160-163)
 
 
-def scrub_text(text: str, cfg: QualityConfig = DEFAULT_QUALITY) -> ScrubResult:
+def scrub_text(
+    text: str,
+    cfg: QualityConfig = DEFAULT_QUALITY,
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    replacement: str = DEFAULT_MASK,
+    preserve_format: bool = True,
+) -> ScrubResult:
     """Full per-row pipeline: langid -> quality -> detect -> classify -> splice."""
     langs, confs = classify_batch([text])
     flags, bpc, metrics = quality_flags_batch([text], cfg)
 
-    spans = detect_spans(text or "")
+    spans = detect_spans(text or "", confidence_threshold)
     entities = [
         {
             "text": text[s:e],
             "entity_type": classify_entity(text[s:e]),
             "start": s,
             "end": e,
+            "confidence": c,
         }
-        for s, e, _ in spans
+        for s, e, _, c in spans
     ]
     typed_spans = [(en["start"], en["end"], en["entity_type"]) for en in entities]
-    scrubbed = redact_typed(text or "", typed_spans)
-    scrubbed_simple = redact_simple(text or "", typed_spans)
+    scrubbed = redact_typed(text or "", typed_spans, replacement, preserve_format)
+    scrubbed_simple = redact_simple(text or "", typed_spans, replacement)
 
     return ScrubResult(
         lang=str(langs[0]),

@@ -22,6 +22,7 @@ pandas UDF.  Consequences at scale:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -29,9 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..core.classify import classify_entity
-from ..core.detect import detect_spans
+from ..core.detect import DEFAULT_CONFIDENCE_THRESHOLD, detect_spans
 from ..core.langid import classify_batch
-from ..core.quality import DEFAULT_QUALITY, quality_flags_batch
+from ..core.patterns import DEFAULT_MASK
+from ..core.quality import DEFAULT_QUALITY, QualityConfig, quality_flags_batch
 from ..core.redact import redact_simple, redact_typed
 
 # Built as objects (not a DDL string) so the module imports without an
@@ -52,8 +54,27 @@ ENTITY_TYPE = StructType(
         StructField("text", StringType()),
         StructField("start", IntegerType()),
         StructField("end", IntegerType()),
+        # Pattern-specificity analog of the reference's per-span confidence
+        # (PIIEntity.confidence, inference.py:34-52) — see core.detect.
+        StructField("confidence", DoubleType()),
     ]
 )
+
+
+@dataclass(frozen=True)
+class ScrubConfig:
+    """Dials the reference exposes on PIIRedactor / redact():
+    ``confidence_threshold`` (inference.py:68), ``replacement`` and
+    ``preserve_format`` (inference.py:356-360).  Defaults reproduce the
+    reference defaults (and round-1 behavior) exactly."""
+
+    quality: QualityConfig = field(default_factory=QualityConfig)
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD
+    replacement: str = DEFAULT_MASK
+    preserve_format: bool = True
+
+
+DEFAULT_SCRUB = ScrubConfig()
 SCRUB_SCHEMA = StructType(
     [
         StructField("lang", StringType()),
@@ -71,25 +92,30 @@ SCRUB_SCHEMA = StructType(
 )
 
 
-def scrub_batch(texts: list[str]) -> pd.DataFrame:
+def scrub_batch(
+    texts: list[str], cfg: ScrubConfig = DEFAULT_SCRUB
+) -> pd.DataFrame:
     """Vectorized scrub of one Arrow batch of captions."""
     langs, confs = classify_batch(texts)
-    flags, bpc, metrics = quality_flags_batch(texts, DEFAULT_QUALITY)
+    flags, bpc, metrics = quality_flags_batch(texts, cfg.quality)
 
     entities_col: list[list[tuple]] = []
     scrubbed_col: list[str] = []
     simple_col: list[str] = []
     has_pii_col: list[bool] = []
     for text in texts:
-        spans = detect_spans(text)
+        spans = detect_spans(text, cfg.confidence_threshold)
         ents = [
-            (classify_entity(text[s:e]), text[s:e], s, e) for s, e, _ in spans
+            (classify_entity(text[s:e]), text[s:e], s, e, c)
+            for s, e, _, c in spans
         ]
-        typed = [(s, e, t) for (t, _, s, e) in ents]
-        scrubbed = redact_typed(text, typed)
+        typed = [(s, e, t) for (t, _, s, e, _c) in ents]
+        scrubbed = redact_typed(
+            text, typed, cfg.replacement, cfg.preserve_format
+        )
         entities_col.append(ents)
         scrubbed_col.append(scrubbed)
-        simple_col.append(redact_simple(text, typed))
+        simple_col.append(redact_simple(text, typed, cfg.replacement))
         has_pii_col.append(scrubbed != text)
 
     return pd.DataFrame(
@@ -109,23 +135,32 @@ def scrub_batch(texts: list[str]) -> pd.DataFrame:
     )
 
 
-@pandas_udf(SCRUB_SCHEMA)
-def _scrub_udf_impl(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    # Per-executor-process init happens on first use (regexes are compiled at
-    # module import; the trigram LM builds lazily inside quality_flags_batch)
-    # and is reused across every batch this worker sees.
-    for series in batches:
-        yield scrub_batch(series.fillna("").tolist())
+def make_scrub_udf(cfg: ScrubConfig = DEFAULT_SCRUB):
+    """Build a scrub UDF bound to ``cfg``.
+
+    The config is a small frozen dataclass captured in the closure —
+    serialized once with the UDF, not per row.  Marked nondeterministic on
+    purpose: a plan that filters on `keep` AND projects `scrubbed` would
+    otherwise evaluate the UDF twice (Catalyst duplicates deterministic
+    Python UDFs across the Filter/Project boundary — verified with
+    .explain: two ArrowEvalPython nodes vs one after this marking).  The
+    reference makes the same class of mistake in reverse (redact_with_info
+    runs inference twice, inference.py:420-421); we refuse to pay it.
+    """
+
+    @pandas_udf(SCRUB_SCHEMA)
+    def _impl(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # Per-executor-process init happens on first use (regexes are
+        # compiled at module import; the trigram LM builds lazily inside
+        # quality_flags_batch) and is reused across every batch this
+        # worker sees.
+        for series in batches:
+            yield scrub_batch(series.fillna("").tolist(), cfg)
+
+    return _impl.asNondeterministic()
 
 
-# Semantically deterministic, but marked nondeterministic on purpose: a plan
-# that filters on `keep` AND projects `scrubbed` would otherwise evaluate the
-# UDF twice (Catalyst duplicates deterministic Python UDFs across the
-# Filter/Project boundary — verified with .explain: two ArrowEvalPython
-# nodes vs one after this marking).  The reference makes the same class of
-# mistake in reverse (redact_with_info runs inference twice,
-# inference.py:420-421); we refuse to pay it.
-scrub_udf = _scrub_udf_impl.asNondeterministic()
+scrub_udf = make_scrub_udf()
 
 
 def scrub_expr(caption_col: str = "caption") -> Column:

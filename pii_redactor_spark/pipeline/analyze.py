@@ -51,6 +51,55 @@ def pii_char_ratio(decisions: DataFrame,
     )
 
 
+def mean_confidence(decisions: DataFrame) -> DataFrame:
+    """A3: corpus-wide mean entity confidence (reference avg_confidence,
+    inference.py:449 — np.mean over entity confidences)."""
+    return decisions.select(F.explode("entities").alias("e")).agg(
+        F.round(F.avg("e.confidence"), 6).alias("mean_confidence"),
+        F.count("*").alias("n_entities"),
+    )
+
+
+def with_analysis(decisions: DataFrame,
+                  caption_col: str = "caption") -> DataFrame:
+    """Per-row ``analyze_text`` struct (reference inference.py:425-466):
+    ``{total_entities, entity_counts, pii_character_ratio,
+    average_confidence}`` — computed from the already-materialized
+    ``entities`` column with JVM higher-order functions (no second UDF
+    pass; the reference's analyze_text re-runs ``predict``).
+
+    ``entity_counts`` is a map<type, count>; null entity types count under
+    "UNKNOWN" (reference :440).  ``average_confidence`` is 0.0 for rows
+    with no entities (reference :449's else branch)."""
+    ents = F.col("entities")
+    etype = lambda e: F.coalesce(e["entity_type"], F.lit("UNKNOWN"))  # noqa: E731
+    types = F.array_distinct(F.transform(ents, etype))
+    counts = F.transform(
+        types,
+        lambda t: F.size(F.filter(ents, lambda e: etype(e) == t)),
+    )
+    pii_chars = F.aggregate(
+        ents, F.lit(0), lambda acc, e: acc + F.length(e["text"])
+    )
+    total_chars = F.length(F.col(caption_col))
+    avg_conf = F.when(
+        F.size(ents) > 0,
+        F.aggregate(ents, F.lit(0.0), lambda a, e: a + e["confidence"])
+        / F.size(ents),
+    ).otherwise(F.lit(0.0))
+    return decisions.withColumn(
+        "analysis",
+        F.struct(
+            F.size(ents).alias("total_entities"),
+            F.map_from_arrays(types, counts).alias("entity_counts"),
+            F.when(total_chars > 0, pii_chars / total_chars)
+            .otherwise(F.lit(0.0))
+            .alias("pii_character_ratio"),
+            avg_conf.alias("average_confidence"),
+        ),
+    )
+
+
 def entity_count_histogram(decisions: DataFrame) -> DataFrame:
     """A10: distribution of entities-per-caption."""
     return (

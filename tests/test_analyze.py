@@ -11,7 +11,9 @@ from pii_redactor_spark.pipeline.analyze import (
     entity_count_histogram,
     entity_type_counts,
     error_sample,
+    mean_confidence,
     pii_char_ratio,
+    with_analysis,
 )
 from pii_redactor_spark.operators.scrub import with_scrub
 
@@ -56,6 +58,39 @@ def test_entity_count_histogram_totals(spark, decisions):
     assert any(r["n"] > 0 and r["n_rows"] > 0 for r in hist)
 
 
+def test_mean_confidence_bounds(spark, decisions):
+    df, _ = decisions
+    row = mean_confidence(df).collect()[0]
+    # All detection banks score in [0.5, 1.0] by construction.
+    assert 0.5 <= row["mean_confidence"] <= 1.0
+    assert row["n_entities"] == df.select(F.explode("entities")).count()
+
+
+def test_with_analysis_matches_reference_shape(spark, decisions):
+    """Per-row analyze_text struct (inference.py:425-466): counts, ratio,
+    avg confidence — cross-checked against python recomputation."""
+    df, _ = decisions
+    rows = with_analysis(df).select(
+        "caption", "entities", "analysis"
+    ).head(50)
+    for r in rows:
+        a = r["analysis"]
+        ents = r["entities"]
+        assert a["total_entities"] == len(ents)
+        counts: dict[str, int] = {}
+        for e in ents:
+            t = e["entity_type"] or "UNKNOWN"
+            counts[t] = counts.get(t, 0) + 1
+        assert dict(a["entity_counts"]) == counts
+        pii_chars = sum(len(e["text"]) for e in ents)
+        want_ratio = pii_chars / len(r["caption"]) if r["caption"] else 0.0
+        assert abs(a["pii_character_ratio"] - want_ratio) < 1e-9
+        want_conf = (
+            sum(e["confidence"] for e in ents) / len(ents) if ents else 0.0
+        )
+        assert abs(a["average_confidence"] - want_conf) < 1e-9
+
+
 def test_error_sample_empty_when_engine_matches_oracle(spark, decisions):
     df, labels = decisions
     assert error_sample(df, labels).count() == 0
@@ -72,3 +107,31 @@ def test_error_sample_surfaces_injected_mismatch(spark, decisions):
     assert len(rows) == 1
     assert rows[0]["image_id"] == "img000000000007"
     assert rows[0]["scrubbed"] == "CORRUPTED"
+
+
+def test_make_scrub_udf_config_round_trip(spark):
+    """ScrubConfig dials (threshold, replacement, preserve_format) flow
+    through the configured UDF and change only what they should."""
+    from pii_redactor_spark.operators.scrub import ScrubConfig, make_scrub_udf
+
+    df = spark.createDataFrame(
+        [("a", "my id is 123456789"),
+         ("b", "Contact john.smith@example.com now")],
+        "image_id string, caption string",
+    )
+    strict = make_scrub_udf(
+        ScrubConfig(confidence_threshold=0.7, replacement="<PII>",
+                    preserve_format=False)
+    )
+    got = {
+        r["image_id"]: r
+        for r in df.withColumn("s", strict(F.col("caption")))
+        .select("image_id", "s.entities", "s.scrubbed").collect()
+    }
+    # bare-9-digit span (conf 0.65) dropped by the 0.7 threshold
+    assert got["a"]["entities"] == []
+    assert got["a"]["scrubbed"] == "my id is 123456789"
+    # email survives; preserve_format=False masks with the custom token
+    assert [e["entity_type"] for e in got["b"]["entities"]] == ["EMAIL"]
+    assert got["b"]["entities"][0]["confidence"] == 0.99
+    assert got["b"]["scrubbed"] == "Contact <PII> now"

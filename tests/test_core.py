@@ -101,7 +101,7 @@ def test_redact_spans_at_string_edges():
 def test_detect_structured_and_gazetteer():
     text = "שמי אלון כהן ומספר תעודת הזהות שלי הוא 123456789"
     spans = detect_spans(text)
-    found = {(text[s:e], t) for s, e, t in spans}
+    found = {(text[s:e], t) for s, e, t, _c in spans}
     assert ("אלון כהן", "NAME") in found
     assert ("123456789", "ID_NUMBER") in found
 
@@ -109,7 +109,7 @@ def test_detect_structured_and_gazetteer():
 def test_detect_address_wins_over_embedded_number():
     text = "הכתובת של דוד לוי היא הרצל 15, תל אביב"
     spans = detect_spans(text)
-    texts = [text[s:e] for s, e, _ in spans]
+    texts = [text[s:e] for s, e, _t, _c in spans]
     assert "הרצל 15, תל אביב" in texts
     assert "דוד לוי" in texts
 
@@ -117,7 +117,7 @@ def test_detect_address_wins_over_embedded_number():
 def test_detect_latin_address_and_name():
     text = "The address of John Smith is 123 Oak Street, Springfield"
     spans = detect_spans(text)
-    got = {(text[s:e], t) for s, e, t in spans}
+    got = {(text[s:e], t) for s, e, t, _c in spans}
     assert ("John Smith", "NAME") in got
     assert ("123 Oak Street, Springfield", "ADDRESS") in got
 
@@ -125,7 +125,7 @@ def test_detect_latin_address_and_name():
 def test_detect_no_overlap():
     text = "Contact John Smith at john.smith@example.com or call 555-123-4567"
     spans = detect_spans(text)
-    for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+    for (s1, e1, *_), (s2, e2, *_) in zip(spans, spans[1:]):
         assert e1 <= s2
 
 
@@ -225,3 +225,41 @@ def test_scrub_text_empty_guard():
     assert not r.keep
     assert r.entities == []
     assert r.scrubbed == ""
+
+
+# --- confidence + threshold (reference inference.py:34-52,313-318) ------------
+def test_detect_spans_emit_confidence():
+    spans = detect_spans("Contact john.smith@example.com or call 555-123-4567")
+    confs = {t: c for _s, _e, t, c in spans}
+    assert confs["EMAIL"] == 0.99
+    assert 0.5 <= confs["PHONE"] <= 1.0
+
+
+def test_confidence_threshold_drops_ambiguous_spans():
+    text = "order number 123456789 confirmed"  # bare 9 digits: conf 0.65
+    assert any(t == "ID_NUMBER" for _s, _e, t, _c in detect_spans(text))
+    assert detect_spans(text, confidence_threshold=0.7) == []
+    # high-specificity spans survive the same raised threshold
+    mail = "write to a@b.co today"
+    assert [t for _s, _e, t, _c in detect_spans(mail, 0.9)] == ["EMAIL"]
+
+
+def test_scrub_text_confidence_and_threshold():
+    r = scrub_text("my id is 123456789")
+    assert [e["entity_type"] for e in r.entities] == ["ID_NUMBER"]
+    assert r.entities[0]["confidence"] == 0.65
+    r2 = scrub_text("my id is 123456789", confidence_threshold=0.7)
+    assert r2.entities == []
+    assert not r2.has_pii
+    assert r2.scrubbed == "my id is 123456789"
+
+
+def test_preserve_format_false_single_token():
+    text = "My name is John Smith and my ID number is 123-45-6789"
+    r = scrub_text(text, preserve_format=False)
+    assert r.scrubbed == "My name is [REDACTED] and my ID number is [REDACTED]"
+    r3 = scrub_text(text, replacement="<PII>", preserve_format=False)
+    assert r3.scrubbed == "My name is <PII> and my ID number is <PII>"
+    # typed masks unaffected by replacement when preserve_format=True
+    r4 = scrub_text(text, replacement="<PII>")
+    assert r4.scrubbed == "My name is [NAME_REDACTED] and my ID number is [ID_REDACTED]"

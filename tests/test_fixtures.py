@@ -74,7 +74,7 @@ def test_detection_recovers_true_spans():
         if cap["kind"] != "template":
             continue
         truth = {(e["start"], e["end"]) for e in cap["entities"]}
-        found = {(s, e) for s, e, _ in detect_spans(cap["caption"])}
+        found = {(s, e) for s, e, _t, _c in detect_spans(cap["caption"])}
         total += max(len(truth), 1)
         if truth != found:
             mism += 1

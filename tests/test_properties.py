@@ -33,7 +33,7 @@ _text = st.text(
 def test_detect_spans_well_formed(text):
     spans = detect_spans(text)
     prev_end = -1
-    for s, e, _kind in sorted(spans):
+    for s, e, _kind, _conf in sorted(spans):
         assert 0 <= s < e <= len(text)
         assert s >= prev_end  # non-overlapping
         prev_end = e
@@ -52,7 +52,7 @@ def test_scrub_deterministic_and_total(text):
 @given(_text)
 @settings(max_examples=200, deadline=None)
 def test_redaction_preserves_non_entity_text(text):
-    spans = [(s, e, k) for s, e, k in detect_spans(text)]
+    spans = [(s, e, k) for s, e, k, _c in detect_spans(text)]
     typed = redact_typed(text, spans)
     # removing all mask tokens leaves only characters from the original
     leftover = typed
@@ -70,7 +70,7 @@ def test_redaction_preserves_non_entity_text(text):
 @given(_text)
 @settings(max_examples=100, deadline=None)
 def test_simple_redaction_never_longer_spanwise(text):
-    spans = [(s, e, k) for s, e, k in detect_spans(text)]
+    spans = [(s, e, k) for s, e, k, _c in detect_spans(text)]
     simple = redact_simple(text, spans)
     if not spans:
         assert simple == text
