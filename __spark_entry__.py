@@ -522,36 +522,34 @@ def q_doc_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the verifier for the LSH paths).
+    """Exact n-gram Jaccard pair statistics WITHOUT an all-pairs join.
 
-    All-pairs self-join is the *oracle* form, viable at sf<=0.01; the scale
-    path is minhash/simhash bucketing (q_doc_minhash_buckets /
-    q_doc_simhash_buckets) which prunes candidates before this comparison.
+    Round-1 shipped the O(n²) theta-join form; this is the exact
+    de-quadratified rewrite: pairs sharing >= 1 shingle come from an
+    inverted-index equi-join (``operators.dedup.sparse_jaccard_pairs``),
+    and the all-pairs totals fall out in closed form — disjoint pairs have
+    Jaccard 0, so ``sum over sharing pairs == sum over all pairs`` and
+    ``n_pairs = n·(n−1)/2``.  Same answer as the DuckDB all-pairs oracle at
+    every scale; no Cartesian/theta join in the plan (pinned by
+    tests/test_plans.py).
     """
+    from pii_redactor_spark.operators.dedup import sparse_jaccard_pairs
+
     docs = _t(spark, sf, "documents")
-    sh = docs.where(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', split(text, ' ')[i-1], "
-                "split(text, ' ')[i], split(text, ' ')[i+1]))"
-            )
-        ).alias("shingles"),
+    eligible = docs.where(F.size(F.split("text", " ")) >= 3)
+    pairs = sparse_jaccard_pairs(eligible, "doc_id", "text", k=3)
+    stats = pairs.agg(
+        F.coalesce(
+            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
+        ).alias("n_neardup_pairs"),
+        F.coalesce(F.sum("jaccard"), F.lit(0.0)).alias("_sum_jaccard"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-    jac = pairs.select(
-        (
-            F.size(F.array_intersect("a.shingles", "b.shingles"))
-            / F.size(F.array_union("a.shingles", "b.shingles"))
-        ).alias("jaccard")
-    )
-    return jac.agg(
-        F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n_neardup_pairs"),
-        F.count("*").alias("n_pairs"),
-        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    counts = eligible.agg(F.count("*").alias("_n_docs"))
+    all_pairs = (F.col("_n_docs") * (F.col("_n_docs") - 1) / 2).cast("long")
+    return stats.crossJoin(counts).select(
+        "n_neardup_pairs",
+        all_pairs.alias("n_pairs"),
+        F.round(F.col("_sum_jaccard") / all_pairs, 4).alias("avg_jaccard"),
     )
 
 
@@ -598,11 +596,13 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: all-pairs at oracle scale; the
-    LSH bucket path (q_embedding_lsh_nosql) is the 10^12-row candidate
-    generator for the same comparison."""
-    emb = _t(spark, sf, "embeddings")
+# Above this row count the all-pairs oracle form is forbidden and the query
+# switches to the scale path (closed-form mean + LSH filter-then-verify).
+NEARDUP_ALLPAIRS_MAX = 20_000
+
+
+def _embedding_neardup_allpairs(emb: DataFrame) -> DataFrame:
+    """Oracle form (exact, O(n²)) — only ever run under the row-count guard."""
 
     def dot(a, b):
         return F.aggregate(
@@ -626,6 +626,45 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.round(F.avg("cosine"), 4).alias("avg_cosine"),
     )
+
+
+def _embedding_neardup_scale(emb: DataFrame) -> DataFrame:
+    """Scale path, no theta join anywhere in the plan:
+
+    * ``avg_cosine`` / ``n_pairs`` are EXACT via the closed-form identity
+      ``Σ_{i<j} cos = (‖Σ v̂‖² − n)/2`` (operators.similarity.
+      mean_pairwise_cosine) — one narrow aggregation.
+    * ``n_neardup`` is filter-then-verify: LSH-bucket equi-join candidates,
+      exact cosine on collisions only (recall = LSH collision probability;
+      precision exact).  Plan shape pinned by tests/test_plans.py.
+    """
+    from pii_redactor_spark.operators.similarity import (
+        mean_pairwise_cosine,
+        neardup_pairs_lsh,
+    )
+
+    nd = neardup_pairs_lsh(emb, threshold=0.9).agg(
+        F.count("*").alias("n_neardup")
+    )
+    stats = mean_pairwise_cosine(emb)
+    all_pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return nd.crossJoin(stats).select(
+        "n_neardup",
+        all_pairs.alias("n_pairs"),
+        F.round(F.col("sum_pairwise") / all_pairs, 4).alias("avg_cosine"),
+    )
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup detection.
+
+    Adaptive: the exact all-pairs oracle form only under a row-count guard
+    (driver-side count — one cheap columnless scan); beyond the guard the
+    O(n²) join is never built and the scale path runs instead."""
+    emb = _t(spark, sf, "embeddings")
+    if emb.count() <= NEARDUP_ALLPAIRS_MAX:
+        return _embedding_neardup_allpairs(emb)
+    return _embedding_neardup_scale(emb)
 
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector.

@@ -177,6 +177,58 @@ def exact_jaccard(
     )
 
 
+def sparse_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard for every pair sharing >= 1 shingle — no theta join.
+
+    The inverted-index (AllPairs family) shape: explode distinct shingles,
+    self equi-join on the shingle, and count collisions per pair — because
+    shingle arrays are distinct within a doc, the collision count IS
+    ``|A ∩ B|``, and ``|A ∪ B| = |A| + |B| − |A ∩ B|``, so Jaccard needs no
+    second pass over the arrays.  Pairs sharing nothing (Jaccard 0) are
+    simply absent, which is exactly what a near-dup consumer wants.
+
+    Scale shape: the only shuffles are keyed on the shingle (join) and the
+    pair (agg) — cost is driven by the inverted-index collision count, not
+    n².  Hot shingles (stop-phrases) are the skew risk; AQE skew-join
+    handles moderate cases, and a production run would add a
+    document-frequency cap on indexed shingles (prefix filtering) before
+    the join.
+    """
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("_id"),
+        F.size("shingles").alias("_size"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._size").alias("size_a"),
+            F.col("b._size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -84,6 +84,69 @@ def lsh_bucket_histogram(
     )
 
 
+def mean_pairwise_cosine(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Sum of cosine over ALL unordered pairs in closed form — zero joins.
+
+    With unit-normalized vectors v̂, ``Σ_{i<j} cos(v_i, v_j)
+    = (‖Σ v̂‖² − n) / 2`` (expand ‖Σ v̂‖² = Σ‖v̂‖² + 2 Σ_{i<j} v̂_i·v̂_j and
+    every ‖v̂‖² = 1).  So the exact all-pairs mean needs only the per-dim
+    sums of the normalized vectors: one narrow aggregation instead of an
+    O(n²) self-join.  Returns one row: (n: long, sum_pairwise: double).
+    """
+    normed = df.withColumn(
+        "_nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    ).select(
+        F.transform(F.col(vec_col), lambda x: x / F.col("_nrm")).alias("_v")
+    )
+    dims = normed.select(F.posexplode("_v").alias("dim", "v"))
+    per_dim = dims.groupBy("dim").agg(F.sum("v").alias("s"))
+    sumsq = per_dim.agg(
+        F.sum(F.col("s") * F.col("s")).alias("_sumsq")
+    )
+    n = df.agg(F.count("*").alias("n"))
+    return n.crossJoin(sumsq).select(
+        "n", ((F.col("_sumsq") - F.col("n")) / 2).alias("sum_pairwise")
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs by filter-then-verify: candidates from LSH bucket
+    equality (equi-join — the only shuffle key), then exact cosine on the
+    collisions only.  Recall is the LSH collision probability
+    ``(1 − θ/π)^n_planes`` per table (θ = angle at the threshold), so a
+    production sweep uses several seeds (tables) and unions the candidate
+    sets; precision is exact (every emitted pair is verified).
+    """
+    bucketed = with_lsh_bucket(
+        df, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "lsh_bucket",
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        cosine(F.col("a._v"), F.col("b._v")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
 def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((n_cells, dim))

@@ -109,3 +109,26 @@ def test_minhash_scales_on_documents_table(spark):
     assert total >= 0
     if total:
         assert low / total < 0.9  # banding concentrates on real overlap
+
+
+def test_sparse_jaccard_matches_allpairs_ground_truth(spark, corpus):
+    """The inverted-index exact Jaccard must equal a brute-force python
+    all-pairs computation on every sharing pair (and omit only
+    zero-overlap pairs)."""
+    from pii_redactor_spark.operators.dedup import sparse_jaccard_pairs
+
+    rows = {r["doc_id"]: r["shingles"]
+            for r in with_shingles(corpus).collect()}
+    truth = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = set(rows[a]), set(rows[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j > 0:
+                truth[(a, b)] = j
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in sparse_jaccard_pairs(corpus).collect()}
+    assert set(got) == set(truth)
+    for k in truth:
+        assert abs(got[k] - truth[k]) < 1e-12, (k, got[k], truth[k])

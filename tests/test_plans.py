@@ -119,3 +119,58 @@ def test_whole_stage_codegen_covers_relational_ops(images_df):
         q.explain(mode="codegen")
     out = buf.getvalue()
     assert "WholeStageCodegen" in out, out
+
+
+def _theta_join_free(plan: str) -> list[str]:
+    """Offending plan-detail blocks: any Cartesian product, or any
+    nested-loop join carrying a real join condition (the all-pairs
+    ``id_a < id_b`` shape).  Conditionless scalar crossJoins
+    (``Join condition: None`` — broadcasting a 1-row aggregate) are
+    allowed."""
+    bad = []
+    for block in plan.split("\n\n"):
+        header = block.splitlines()[0] if block else ""
+        if "CartesianProduct" in header:
+            bad.append(header)
+        elif "BroadcastNestedLoopJoin" in header:
+            cond = [l for l in block.splitlines()
+                    if l.startswith("Join condition:")]
+            if cond and cond[0] != "Join condition: None":
+                bad.append(f"{header} | {cond[0]}")
+    return bad
+
+
+def test_ngram_jaccard_plan_has_no_allpairs_join(spark):
+    """Round-2 de-quadratification: the exact Jaccard query must candidate-
+    generate via a shingle equi-join, never an O(n^2) theta self-join."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_doc_ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"))
+    assert not _theta_join_free(plan), _theta_join_free(plan)
+    # the pair generator is a keyed join on the shingle
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_neardup_scale_path_has_no_allpairs_join(spark):
+    """Beyond the row-count guard the O(n^2) form must never be built:
+    avg comes from the closed-form identity, n_neardup from the LSH
+    bucket equi-join."""
+    import __spark_entry__ as entry
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(entry._embedding_neardup_scale(emb))
+    assert not _theta_join_free(plan), _theta_join_free(plan)
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_neardup_guard_switches_paths(spark, monkeypatch):
+    """The adaptive guard: small inputs take the exact oracle form, large
+    inputs (guard forced to 0) take the scale path — detectable by the
+    theta join's presence/absence."""
+    import __spark_entry__ as entry
+
+    small = entry.q_embedding_neardup_pairs(spark, "/root/testdata/sf0.001")
+    assert _theta_join_free(_plan(small))  # oracle form IS the theta join
+    monkeypatch.setattr(entry, "NEARDUP_ALLPAIRS_MAX", 0)
+    big = entry.q_embedding_neardup_pairs(spark, "/root/testdata/sf0.001")
+    assert not _theta_join_free(_plan(big))

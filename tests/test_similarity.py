@@ -86,3 +86,38 @@ def test_ivf_assignment_deterministic_across_runs(emb):
     a = ivf_assign(emb).select("vec_id", "ivf_cell").collect()
     b = ivf_assign(emb).select("vec_id", "ivf_cell").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mean_pairwise_cosine_closed_form_matches_numpy(emb):
+    """Closed-form pair-sum identity vs brute-force numpy all-pairs."""
+    import numpy as np
+
+    from pii_redactor_spark.operators.similarity import mean_pairwise_cosine
+
+    sub = emb.where(F.col("vec_id") < 40)
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sub.collect()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    n = len(m)
+    want = sims[np.triu_indices(n, k=1)].sum()
+    row = mean_pairwise_cosine(sub).collect()[0]
+    assert row["n"] == n
+    assert abs(row["sum_pairwise"] - want) < 1e-6
+
+
+def test_neardup_pairs_lsh_finds_planted_dups(spark, emb):
+    """Planted exact duplicates always collide (same bucket) and verify at
+    cosine 1; unrelated random pairs stay out."""
+    from pii_redactor_spark.operators.similarity import neardup_pairs_lsh
+
+    base = emb.where(F.col("vec_id") < 50).select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    pairs = neardup_pairs_lsh(base.unionByName(dup), threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in got
+    # no false positives: every emitted pair is exact-verified >= 0.9
+    assert all(r["cosine"] >= 0.9 for r in pairs.collect())
