@@ -724,8 +724,13 @@ def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
 # Non-SQL-expressible (rows-only check; semantics pinned by pytest)
 # ---------------------------------------------------------------------------
 
-def q_doc_scrub_nosql(spark: SparkSession, sf: str) -> DataFrame:
-    """Full engine scrub over documents (UDF payload: langid/quality/PII)."""
+def q_doc_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Full engine scrub over documents (UDF payload: langid/quality/PII).
+
+    Oracled since round 2: DuckDB ground truth is a GROUP BY over scrub
+    outputs materialized from the row-at-a-time reference oracle
+    (fixtures.oracle_cache) — the same semantics the differential
+    property suite pins against this UDF."""
     from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
 
     docs = parallelize_for_udf(_t(spark, sf, "documents"))
@@ -741,10 +746,12 @@ def q_doc_scrub_nosql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_doc_entity_stats_nosql(spark: SparkSession, sf: str) -> DataFrame:
+def q_doc_entity_stats(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's analyze_text aggregates (A1/A2: entity counts by type
     + PII char ratio) over the scrubbed documents corpus — entities come from
-    the UDF, the statistics stay JVM-side (explode + aggregate HOF)."""
+    the UDF, the statistics stay JVM-side (explode + aggregate HOF).
+    Oracled since round 2 via the materialized entity table
+    (fixtures.oracle_cache)."""
     from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
 
     docs = parallelize_for_udf(_t(spark, sf, "documents"))
@@ -822,15 +829,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
-        "doc_scrub_nosql": q_doc_scrub_nosql,
-        "doc_entity_stats_nosql": q_doc_entity_stats_nosql,
+        "doc_scrub": q_doc_scrub,
+        "doc_entity_stats": q_doc_entity_stats,
         "embedding_lsh_nosql": q_embedding_lsh_nosql,
         "embedding_ivf_nosql": q_embedding_ivf_nosql,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
+    from pii_redactor_spark.fixtures.oracle_cache import (
+        materialize_scrub_oracle,
+    )
+
+    # The driver runs oracles at sf0.01; tools/check_contract.py overrides
+    # via this env var when checking another scale factor.
+    oracle_sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    scrub_path, ent_path = materialize_scrub_oracle(oracle_sf)
     return {
+        "doc_scrub": f"""
+            SELECT lang, keep, lang_detected, COUNT(*) AS count
+            FROM read_parquet('{scrub_path}')
+            GROUP BY lang, keep, lang_detected
+        """,
+        "doc_entity_stats": f"""
+            SELECT lang,
+                   COALESCE(entity_type, 'NONE') AS entity_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(COALESCE(entity_len, 0)) AS BIGINT) AS pii_chars
+            FROM read_parquet('{ent_path}')
+            GROUP BY lang, COALESCE(entity_type, 'NONE')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -22,7 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
-    "doc_scrub_nosql",
+    "doc_scrub",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
@@ -62,7 +62,7 @@ def main() -> None:
     # Warm up the JVM + all Python workers once with the full UDF stage: a
     # 100 TB job amortizes worker startup over hours; the bench should
     # measure steady-state throughput, not one-time fork+import cost.
-    force(qs["doc_scrub_nosql"](spark, SF_DIR))
+    force(qs["doc_scrub"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -79,7 +79,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "scrub_docs_per_sec": round(n_docs / timings["doc_scrub_nosql"], 1),
+        "scrub_docs_per_sec": round(n_docs / timings["doc_scrub"], 1),
         "cpus": CPUS,
     }
     spark.stop()

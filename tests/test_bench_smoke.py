@@ -28,5 +28,5 @@ def test_bench_emits_one_json_line():
     out = json.loads(lines[0])
     assert out["unit"] == "sec"
     assert out["value"] > 0
-    assert set(out["queries"]) >= {"doc_scrub_nosql", "pricing_summary"}
+    assert set(out["queries"]) >= {"doc_scrub", "pricing_summary"}
     assert all(v >= 0 for v in out["queries"].values())

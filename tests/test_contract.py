@@ -18,6 +18,12 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# The materialized scrub oracle must be built for the same scale factor the
+# queries run at (the driver uses sf0.01; this suite uses sf0.001).
+import os  # noqa: E402
+
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -89,20 +89,22 @@ def test_broadcast_join_for_small_dim(spark):
 
 
 def test_relational_queries_have_no_python_nodes(spark):
-    """Every oracle-checked contract query must stay entirely JVM-side —
-    Python evaluation is reserved for the _nosql scrub/index stages."""
+    """Every relational contract query must stay entirely JVM-side —
+    Python evaluation is reserved for the scrub/index stages (the scrub
+    queries are still oracled, via materialized reference outputs)."""
     import __spark_entry__ as entry
 
     from pii_redactor_spark.plans import python_udf_nodes
 
+    udf_backed = {"doc_scrub", "doc_entity_stats"}
     oracles = entry.oracle_sql()
     for name, fn in entry.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         n = python_udf_nodes(df)
-        if name in oracles:
-            assert n == 0, f"{name} has {n} Python nodes"
-        elif name == "doc_scrub_nosql":
+        if name in udf_backed:
             assert n == 1, f"{name} should have exactly one scrub UDF node"
+        elif name in oracles:
+            assert n == 0, f"{name} has {n} Python nodes"
 
 
 def test_whole_stage_codegen_covers_relational_ops(images_df):

@@ -54,6 +54,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entry
     from pii_redactor_spark.session import get_spark
 
