@@ -17,9 +17,11 @@ scrubbed (quality-filter + scrub, not PII-filter).
 from __future__ import annotations
 
 from collections.abc import Sequence
+import itertools
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
 
 from . import generators as gen
 from .templates import LANGUAGES, templates_for
@@ -154,55 +156,106 @@ _ALL_STOPWORDS = frozenset(
 )
 
 
+# Lazy per-process is-symbol verdict table for the Basic Multilingual Plane
+# (codepoint -> `not ch.isalnum() and not ch.isspace()`); index 0 is the
+# batch separator and must never count.  One ~30 ms build per executor
+# worker, then symbol counting is a pure table lookup + bincount — no
+# per-batch np.unique sort.
+_SYM_TABLE: np.ndarray | None = None
+_TOKEN_STRIP = ".,!?:;()\"'"
+
+
+def _sym_table() -> np.ndarray:
+    global _SYM_TABLE
+    if _SYM_TABLE is None:
+        t = np.fromiter(
+            (not chr(c).isalnum() and not chr(c).isspace()
+             for c in range(0x10000)),
+            dtype=bool, count=0x10000,
+        )
+        t[0] = False  # the join separator
+        _SYM_TABLE = t
+    return _SYM_TABLE
+
+
 def heuristics_batch(
     texts: Sequence[str], cfg: QualityConfig = DEFAULT_QUALITY
 ) -> dict[str, np.ndarray]:
     """Compute per-text heuristic metrics for a batch.
 
     Returns arrays: n_chars, n_tokens, distinct_ratio, symbol_density,
-    stopword_coverage.
+    stopword_coverage.  Fully vectorized and exactly equivalent to the
+    per-row reference loop (`[w.strip(punct).lower() for w in t.split()]`
+    etc.) — pinned by the batch==single property test.
     """
     n = len(texts)
-    n_chars = np.zeros(n, dtype=np.int64)
-    n_tokens = np.zeros(n, dtype=np.int64)
-    distinct_ratio = np.ones(n)
-    symbol_density = np.zeros(n)
-    stopword_cov = np.zeros(n)
+    clean = [t or "" for t in texts]
+    n_chars = np.fromiter(map(len, clean), np.int64, count=n)
     # Vectorized symbol counting: one flat codepoint array for the batch,
-    # an is-symbol verdict computed once per DISTINCT codepoint (batches
-    # reuse a small alphabet), then a per-text bincount.  Exactly equivalent
-    # to per-char `not ch.isalnum() and not ch.isspace()`.
+    # verdict via the per-process BMP lookup table (astral codepoints fall
+    # back to an exact per-distinct check), then a per-text bincount.
     # payload NULs -> \x01: keeps separator alignment, and \x01 has the same
     # is-symbol verdict as \x00 (neither alnum nor space), so counts match
     # the per-char original exactly.
-    joined = "\x00".join((t or "").replace("\x00", "\x01") for t in texts)
+    joined = "\x00".join(t.replace("\x00", "\x01") for t in clean)
     codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     if len(codes):
-        uniq, inv = np.unique(codes, return_inverse=True)
-        is_sym = np.fromiter(
-            (
-                c != 0 and not chr(c).isalnum() and not chr(c).isspace()
-                for c in uniq
-            ),
-            dtype=bool, count=len(uniq),
-        )
+        bmp = np.minimum(codes, 0xFFFF)
+        is_sym = _sym_table()[bmp]
+        hi = codes > 0xFFFF
+        if hi.any():
+            hi_uniq = np.unique(codes[hi])
+            hi_sym = {
+                int(c): (not chr(c).isalnum() and not chr(c).isspace())
+                for c in hi_uniq
+            }
+            is_sym[hi] = np.fromiter(
+                (hi_sym[int(c)] for c in codes[hi]), dtype=bool,
+                count=int(hi.sum()),
+            )
         text_id = np.cumsum(codes == 0)
-        sym_counts = np.bincount(
-            text_id[is_sym[inv]], minlength=n
-        ) if is_sym.any() else np.zeros(n, dtype=np.int64)
+        sym_counts = np.bincount(text_id[is_sym], minlength=n)
     else:
         sym_counts = np.zeros(n, dtype=np.int64)
-    for i, text in enumerate(texts):
-        t = text or ""
-        n_chars[i] = len(t)
-        toks = t.split()
-        n_tokens[i] = len(toks)
-        if toks:
-            lowered = [w.strip(".,!?:;()\"'").lower() for w in toks]
-            distinct_ratio[i] = len(set(lowered)) / len(toks)
-            stopword_cov[i] = sum(w in _ALL_STOPWORDS for w in lowered) / len(toks)
-        if t:
-            symbol_density[i] = sym_counts[i] / len(t)
+    # Distinct-ratio + stopword coverage: factorize the flat raw-token
+    # array, so strip/lower and stopword membership run once per DISTINCT
+    # raw token (captions repeat vocabulary heavily), then per-row distinct
+    # counts and stopword tallies become integer bincounts.
+    toks_lists = [t.split() for t in clean]
+    n_tokens = np.fromiter(map(len, toks_lists), np.int64, count=n)
+    total = int(n_tokens.sum())
+    distinct_ratio = np.ones(n)
+    stopword_cov = np.zeros(n)
+    if total:
+        row = np.repeat(np.arange(n), n_tokens)
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks_lists), dtype=object,
+            count=total,
+        )
+        rcodes, runiq = pd.factorize(flat)
+        low = np.fromiter(
+            (u.strip(_TOKEN_STRIP).lower() for u in runiq), dtype=object,
+            count=len(runiq),
+        )
+        lcodes, luniq = pd.factorize(low)
+        tok_l = lcodes[rcodes]
+        # distinct lowered tokens per row: unique (row, lowered-code) pairs
+        key = row * len(luniq) + tok_l
+        d_counts = np.bincount(np.unique(key) // len(luniq), minlength=n)
+        stop_mask = np.fromiter(
+            (u in _ALL_STOPWORDS for u in luniq), dtype=bool,
+            count=len(luniq),
+        )
+        stop_counts = np.bincount(
+            row, weights=stop_mask[tok_l].astype(np.float64), minlength=n
+        )
+        has = n_tokens > 0
+        denom = np.maximum(n_tokens, 1)
+        distinct_ratio = np.where(has, d_counts / denom, 1.0)
+        stopword_cov = np.where(has, stop_counts / denom, 0.0)
+    symbol_density = np.where(
+        n_chars > 0, sym_counts / np.maximum(n_chars, 1), 0.0
+    )
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
