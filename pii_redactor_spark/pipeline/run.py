@@ -15,10 +15,10 @@ Physical plan (SURVEY.md §4): one narrow stage —
 * Resume: work proceeds in groups of ``phash_prefix`` partitions.  Each group
   is written with dynamic partition overwrite (idempotent), then lineage rows
   + counters are appended and a manifest snapshot committed.  On restart,
-  committed prefixes are skipped (anti-join semantics, SURVEY.md §2.10 — here
-  the lineage table is tiny so the driver filters the todo list directly;
-  on a 10^12-row table the same contract is
-  ``input.join(lineage, "part_id", "left_anti")``).
+  committed prefixes are skipped (anti-join semantics, SURVEY.md §2.10):
+  ``todo_prefixes`` filters a driver list while the committed set is small
+  and switches to ``distinct LEFT ANTI committed`` (broadcast) beyond
+  ``ANTI_JOIN_MIN_PARTS``, so the driver only materializes remaining work.
 """
 
 from __future__ import annotations
@@ -35,6 +35,41 @@ DECISION_COLS = [
     "image_id", "phash_prefix", "lang", "lang_conf", "bits_per_char",
     "n_chars", "n_tokens", "quality_flags", "keep", "has_pii", "n_entities",
 ]
+
+# Below this many committed parts the todo computation filters a driver list
+# (cheapest for the default 256-prefix layout); at or above it, the LEFT
+# ANTI join form runs so the driver only ever materializes remaining work.
+ANTI_JOIN_MIN_PARTS = 1024
+
+
+def todo_prefixes(
+    spark: SparkSession,
+    src: DataFrame,
+    data_path: str,
+    anti_join_min_parts: int = ANTI_JOIN_MIN_PARTS,
+) -> tuple[list[int], int]:
+    """Uncommitted partition ids in deterministic order, plus done count.
+
+    The resume contract (SURVEY.md §2.10): todo = distinct input partitions
+    minus committed ones.  Fast path — filter the collected prefix list
+    against the manifest's committed set.  At-scale path (many committed
+    parts, e.g. a mostly-finished 65k-partition run) — the committed set
+    becomes a broadcast DataFrame and todo comes from
+    ``distinct LEFT ANTI committed``: the python-side set filter never runs
+    and the collect is bounded by the *remaining* work.
+    """
+    done = storage.committed_parts(data_path)
+    distinct = src.select("phash_prefix").distinct()
+    if len(done) < anti_join_min_parts:
+        all_p = sorted(r[0] for r in distinct.collect())
+        return [p for p in all_p if p not in done], len(done)
+    done_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(done)], "phash_prefix int"
+    )
+    todo_df = distinct.join(
+        F.broadcast(done_df), "phash_prefix", "left_anti"
+    )
+    return sorted(r[0] for r in todo_df.collect()), len(done)
 
 
 def scrub_images(
@@ -98,6 +133,7 @@ def run_pipeline(
     run_id: str | None = None,
     materialize_bytes: bool = True,
     fail_before_snapshot: int | None = None,
+    anti_join_min_parts: int = ANTI_JOIN_MIN_PARTS,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
@@ -112,11 +148,9 @@ def run_pipeline(
     metrics_path = f"{out_dir}/metrics"
 
     src = storage.read_table(spark, images_path)
-    all_prefixes = sorted(
-        r[0] for r in src.select("phash_prefix").distinct().collect()
+    todo, n_done = todo_prefixes(
+        spark, src, data_path, anti_join_min_parts=anti_join_min_parts
     )
-    done = storage.committed_parts(data_path)
-    todo = [p for p in all_prefixes if p not in done]
 
     groups = [
         todo[i:i + prefixes_per_commit]
@@ -190,8 +224,8 @@ def run_pipeline(
         storage.commit_snapshot(data_path, group, group_counters, run_id)
 
     return {
-        "run_id": run_id, "prefixes": len(all_prefixes),
-        "resumed_skipped": len(done), "processed_groups": len(groups),
+        "run_id": run_id, "prefixes": len(todo) + n_done,
+        "resumed_skipped": n_done, "processed_groups": len(groups),
         **total,
     }
 
