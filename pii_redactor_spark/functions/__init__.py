@@ -35,15 +35,22 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 
 def char_ngram_min_hash(text: Column | str, n: int = 8) -> Column:
-    """Rolling char-n-gram bottom-1 fingerprint (winnowing sketch)."""
-    c = text if isinstance(text, str) else None
-    expr = (
-        f"array_min(transform(sequence(1, char_length({c}) - {n - 1}), "
-        f"i -> md5(substring({c}, i, {n}))))"
-    )
-    if c is None:
+    """Rolling char-n-gram bottom-1 fingerprint (winnowing sketch).
+
+    NULL for texts shorter than ``n`` chars: without the guard,
+    ``sequence(1, len-n+1)`` would run descending and substring() with
+    non-positive positions would fingerprint unintended end-relative
+    substrings."""
+    if not isinstance(text, str):
         raise ValueError("pass a column NAME for char_ngram_min_hash")
-    return F.expr(expr)
+    c = text
+    return F.when(
+        F.expr(f"char_length({c}) >= {n}"),
+        F.expr(
+            f"array_min(transform(sequence(1, char_length({c}) - {n - 1}), "
+            f"i -> md5(substring({c}, i, {n}))))"
+        ),
+    ).otherwise(F.lit(None))
 
 
 def distinct_ratio(tokens: Column) -> Column:

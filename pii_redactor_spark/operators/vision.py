@@ -112,13 +112,21 @@ def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
     Upscaling never happens (training pipelines shrink, they don't inflate).
     Output is always lossless PNG: a resize stage must not stack a second
     lossy generation on top of the source's.
+
+    Poison rows (undecodable format/bytes) pass through untouched — original
+    bytes and fmt, null dims — instead of killing the stage, mirroring
+    ``decode_stats``; a resize stage must not drop data it cannot improve.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = decode_image(bytes(data), fmt)
+                try:
+                    px = decode_image(bytes(data), fmt)
+                except (NotImplementedError, ValueError):
+                    out.append((iid, bytes(data), None, None, fmt))
+                    continue
                 h, w = px.shape[:2]
                 scale = max(h, w) / max_side
                 if scale > 1:

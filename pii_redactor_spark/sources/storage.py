@@ -61,15 +61,38 @@ def write_bucketed(
     bucket partition transform.
     """
     spark = df.sparkSession
+    if "." in table:
+        # A qualified name would make the name-derived path below wrong (and
+        # the rmtree dangerous); this layer only manages default-db tables.
+        raise ValueError(
+            f"write_bucketed expects an unqualified table name, got {table!r}"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a previous session's warehouse dir may survive without a catalog entry
-    # (in-memory metastore) — clear it or saveAsTable refuses the location
+    # (in-memory metastore) — clear it or saveAsTable refuses the location.
+    # Fail-safe: only a LOCAL path, only when the catalog really has no
+    # entry, and only if the directory looks like a Spark table dir
+    # (part files / commit markers) — never an arbitrary tree.
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    import shutil
+    loc = os.path.join(warehouse, table.lower())
+    if os.path.isdir(loc) and not spark.catalog.tableExists(table):
+        entries = os.listdir(loc)
+        if all(
+            e.startswith(("part-", ".part-", "_SUCCESS", "._SUCCESS",
+                          "_committed", "_started"))
+            or e.endswith(".parquet")
+            for e in entries
+        ):
+            import shutil
 
-    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+            shutil.rmtree(loc, ignore_errors=True)
+        else:
+            raise RuntimeError(
+                f"refusing to clear {loc}: contents do not look like an "
+                f"orphaned managed-table directory"
+            )
 
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

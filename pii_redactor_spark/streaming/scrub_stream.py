@@ -51,8 +51,10 @@ def scrub_file_stream(
     src = reader.parquet(input_dir)
     pruned = src.select("image_id", "phash_prefix", "caption")
     scrubbed = with_scrub(pruned)
+    # Same projection as the batch decisions table (scrub_decisions) —
+    # consumers written against one schema must work on both.
     return scrubbed.withColumn("n_entities", F.size("entities")).select(
-        *DECISION_COLS, "scrubbed"
+        *DECISION_COLS, "scrubbed", "scrubbed_simple"
     )
 
 

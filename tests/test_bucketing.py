@@ -53,3 +53,12 @@ def test_bucketed_join_has_no_shuffle(spark, src_and_decisions):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan  # bucketing removed both shuffles
     assert joined.count() == 600
+
+def test_write_bucketed_rejects_qualified_names(spark):
+    import pytest as _pytest
+
+    from pii_redactor_spark.sources.storage import write_bucketed
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(df, "somedb.sometable", ["id"])

@@ -56,3 +56,18 @@ def test_char_fingerprint_deterministic(df):
     assert [r["fp"] for r in a] == [r["fp"] for r in b]
     with pytest.raises(ValueError):
         char_ngram_min_hash(F.col("text"))
+
+
+def test_char_ngram_min_hash_guards_short_text(spark):
+    from pii_redactor_spark.functions import char_ngram_min_hash
+
+    df = spark.createDataFrame(
+        [("exactly8", ), ("short", ), ("", ), (None, ),
+         ("longer than eight", )], "text string",
+    )
+    got = df.select(char_ngram_min_hash("text", 8).alias("fp")).collect()
+    assert got[0]["fp"] is not None        # len == n: one window
+    assert got[1]["fp"] is None            # len < n: NULL, not garbage
+    assert got[2]["fp"] is None
+    assert got[3]["fp"] is None
+    assert got[4]["fp"] is not None

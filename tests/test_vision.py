@@ -110,3 +110,26 @@ def test_verify_integrity_detects_recompression(spark, images_df):
 def test_sample_frames_is_pinned_stub(spark, images_df):
     with pytest.raises(NotImplementedError, match="video decode"):
         sample_frames(images_df)
+
+
+def test_resize_poison_row_passes_through(spark, images_df):
+    """An undecodable row must not kill the resize stage (decode_stats
+    contract): it passes through with original bytes and null dims."""
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.operators.vision import resize_images
+
+    poisoned = images_df.select("image_id", "bytes", "fmt").limit(4)
+    # corrupt one row's format so decode_image raises
+    poisoned = poisoned.withColumn(
+        "fmt",
+        F.when(F.monotonically_increasing_id() == 0, F.lit("webp"))
+        .otherwise(F.col("fmt")),
+    )
+    out = resize_images(poisoned, max_side=16).collect()
+    assert len(out) == 4
+    bad = [r for r in out if r["w"] is None]
+    good = [r for r in out if r["w"] is not None]
+    assert len(bad) == 1 and bad[0]["fmt"] == "webp"
+    assert bad[0]["bytes"] is not None
+    assert all(r["fmt"] == "png" and r["w"] <= 16 for r in good)
