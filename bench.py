@@ -82,8 +82,44 @@ def main() -> None:
         "scrub_docs_per_sec": round(n_docs / timings["doc_scrub"], 1),
         "cpus": CPUS,
     }
+    prev = _previous_round_timings()
+    if prev:
+        out["prev_delta"] = {
+            name: round(timings[name] - prev[name], 3)
+            for name in timings if name in prev
+        }
+        prev_total = sum(v for k, v in prev.items() if k in timings)
+        if prev_total:
+            out["prev_total_ratio"] = round(
+                sum(v for k, v in timings.items() if k in prev) / prev_total,
+                3,
+            )
     spark.stop()
     print(json.dumps(out))
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query seconds from the latest BENCH_r{N}.json, for mechanical
+    regression visibility round-over-round.  Round-1 names map onto their
+    round-2 successors."""
+    import glob
+    import re
+
+    renames = {"doc_scrub_nosql": "doc_scrub"}
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        with open(benches[-1]) as f:
+            doc = json.load(f)
+        prev = doc.get("parsed", doc).get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return {}
+    return {renames.get(k, k): float(v) for k, v in prev.items()}
 
 
 if __name__ == "__main__":

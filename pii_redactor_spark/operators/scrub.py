@@ -177,13 +177,18 @@ def with_scrub(df: DataFrame, caption_col: str = "caption") -> DataFrame:
 def parallelize_for_udf(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Ensure the CPU-bound UDF stage has >= cores*min_factor partitions.
 
-    At 100 TB the scan yields thousands of splits and this is a no-op; on a
-    small single-file input (bench/test scale) the scan gives one partition
-    and would serialize the whole UDF stage — one round-robin repartition
-    (cheap: the table is small precisely when this fires) restores
-    parallelism.  Plan-only check; triggers no job.
-    """
+    At 100 TB the scan yields thousands of files/splits and this is a no-op;
+    on a small few-file input (bench/test scale) the scan gives one
+    partition and would serialize the whole UDF stage — one round-robin
+    repartition (cheap: the table is small precisely when this fires)
+    restores parallelism.  The probe is ``inputFiles()`` (a file listing on
+    the analyzed plan) rather than ``df.rdd.getNumPartitions()``, which
+    forced a full RDD conversion on every call."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file sources: leave the plan alone
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
