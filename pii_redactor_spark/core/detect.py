@@ -116,6 +116,24 @@ _GAZ_GUARDS = {
     3: _HAS_UPPER,                                    # LATIN_NAME
 }
 
+# Bank tuple per (hebrew, upper, digit, at) guard combination, built once —
+# detect_spans runs per row inside the Arrow UDF, so assembling the bank
+# list must not allocate per call.  Semantics identical to evaluating the
+# guards inline (the table is indexed by exactly the guard predicates).
+_GAZ = [(t, p, _GAZ_CONFIDENCE[t]) for t, p in GAZETTEER_PATTERNS]
+_BANKS_BY_FLAGS = {}
+for _he in (False, True):
+    for _up in (False, True):
+        for _dig in (False, True):
+            for _at in (False, True):
+                _flags = {0: _he and _dig, 1: _up and _dig, 2: _he, 3: _up}
+                _banks = [_GAZ[_i] for _i in range(4) if _flags[_i]]
+                if _at:
+                    _banks += _DETECT_EMAIL
+                if _dig:
+                    _banks += _DETECT_DIGIT
+                _BANKS_BY_FLAGS[(_he, _up, _dig, _at)] = tuple(_banks)
+
 
 def detect_spans(
     text: str,
@@ -132,15 +150,12 @@ def detect_spans(
     if not text:
         return []
 
-    banks = [
-        (t, p, _GAZ_CONFIDENCE[t])
-        for i, (t, p) in enumerate(GAZETTEER_PATTERNS)
-        if _GAZ_GUARDS[i](text)
-    ]
-    if "@" in text:
-        banks += _DETECT_EMAIL
-    if _HAS_DIGIT(text):
-        banks += _DETECT_DIGIT
+    banks = _BANKS_BY_FLAGS[(
+        bool(_HAS_HEBREW(text)), bool(_HAS_UPPER(text)),
+        bool(_HAS_DIGIT(text)), "@" in text,
+    )]
+    if not banks:
+        return []
 
     # (start, -len, order, type, conf)
     candidates: list[tuple[int, int, int, str, float]] = []

@@ -49,19 +49,77 @@ _MARKER_RE = {
 }
 
 
+# Vectorization note: `(?<![\w])(?:stopwords)(?![\w])` can only ever match a
+# complete maximal \w-run (stopwords are all word chars, so any partial-run
+# match fails a lookaround), and at most once per run — so the per-language
+# count equals the number of \w-runs whose lowercase form is in that
+# language's stopword set.  That turns 4 regex scans per row into one
+# \w-run extraction + factorized set membership over DISTINCT tokens.
+_WORD_RUN = re.compile(r"\w+")
+_STOPSETS = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
+
+# Marker chars as a codepoint -> per-language weight row; Hebrew block for
+# the script score.  Built once at import (tiny: only the chars involved).
+_LATIN_LANGS = LANGS[1:]
+_MARKER_CODES: dict[int, int] = {}  # codepoint -> lang column index
+for _j, _lang in enumerate(_LATIN_LANGS, start=1):
+    for _ch in _MARKERS[_lang] + _MARKERS[_lang].upper():
+        _MARKER_CODES[ord(_ch)] = _j
+_HE_LO, _HE_HI = ord("א"), ord("ת")
+_SRE_FOLD = str.maketrans({"İ": "i", "ı": "i", "ſ": "s"})
+
+
 def classify_batch(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     """Return (langs: array[str], confidence: array[float]) for a batch."""
+    import itertools
+
+    import pandas as pd
+
     n = len(texts)
     scores = np.zeros((n, len(LANGS)), dtype=np.float64)
-    for i, text in enumerate(texts):
-        t = text or ""
-        scores[i, 0] = 3.0 * len(_HEBREW_CHARS.findall(t))
-        for j, lang in enumerate(LANGS[1:], start=1):
-            s = 2.0 * len(_STOPWORD_RE[lang].findall(t))
-            marker = _MARKER_RE.get(lang)
-            if marker:
-                s += 1.5 * len(marker.findall(t))
-            scores[i, j] = s
+    clean = [t or "" for t in texts]
+
+    # script + marker scores from one flat codepoint array
+    joined = "\x00".join(t.replace("\x00", "\x01") for t in clean)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if len(codes):
+        text_id = np.cumsum(codes == 0)
+        he = (codes >= _HE_LO) & (codes <= _HE_HI)
+        scores[:, 0] = 3.0 * np.bincount(text_id[he], minlength=n)
+        if _MARKER_CODES:
+            mk = np.isin(codes, np.fromiter(_MARKER_CODES, dtype=np.uint32))
+            if mk.any():
+                cols = np.fromiter(
+                    (_MARKER_CODES[int(c)] for c in codes[mk]),
+                    dtype=np.int64, count=int(mk.sum()),
+                )
+                np.add.at(scores, (text_id[mk], cols), 1.5)
+
+    # stopword scores: factorize \w-runs, membership once per distinct token
+    runs = [_WORD_RUN.findall(t) for t in clean]
+    lens = np.fromiter(map(len, runs), np.int64, count=n)
+    total_runs = int(lens.sum())
+    if total_runs:
+        row = np.repeat(np.arange(n), lens)
+        flat = np.fromiter(itertools.chain.from_iterable(runs),
+                           dtype=object, count=total_runs)
+        tcodes, uniq = pd.factorize(flat)
+        # sre's IGNORECASE differs from str.lower() on a few codepoints:
+        # simple mapping 'İ'->'i' (str.lower gives two codepoints), plus
+        # sre's explicit equivalence pairs 'ı'~'i' and 'ſ'~'s' — normalize
+        # them so set membership matches the regex the loop form used.
+        low = [u.translate(_SRE_FOLD).lower() for u in uniq]
+        for j, lang in enumerate(_LATIN_LANGS, start=1):
+            member = np.fromiter(
+                (w in _STOPSETS[lang] for w in low), dtype=bool,
+                count=len(low),
+            )
+            if member.any():
+                scores[:, j] += 2.0 * np.bincount(
+                    row, weights=member[tcodes].astype(np.float64),
+                    minlength=n,
+                )
+
     total = scores.sum(axis=1)
     best = scores.argmax(axis=1)
     conf = np.where(total > 0, scores[np.arange(n), best] / (total + 1e-9), 0.0)
