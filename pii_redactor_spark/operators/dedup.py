@@ -229,6 +229,85 @@ def sparse_jaccard_pairs(
     )
 
 
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate clusters end-to-end: LSH candidates → exact-Jaccard
+    verified edges → connected components → ``(id, cluster_id)`` rows for
+    every member of a multi-doc cluster (``cluster_id`` = min member id).
+
+    Components run as iterative min-label propagation: each round joins the
+    symmetric edge list against current labels and takes the per-vertex min
+    — two equi-joins keyed on the doc id per round, converging in
+    O(log(component diameter)) rounds (near-dup clusters are tiny and
+    dense, so typically 2–3).  ``localCheckpoint`` truncates the growing
+    plan each round — without it the lineage doubles per iteration and the
+    driver, not the data, becomes the bottleneck.  The convergence probe is
+    one count per round on a labels-sized (not edges-sized) frame.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, k)
+    edges = (
+        exact_jaccard(cand, df, id_col, text_col, k)
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b")
+    )
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("new_label") != F.col("label")).count()
+        labels = updated.select(
+            "id", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def dedupe_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Drop near-duplicates: keep one representative (the min id) per
+    near-dup cluster, plus every unclustered doc — the training-corpus
+    dedup pass.  One LEFT ANTI join against the non-representative member
+    list; deterministic under any parallelism."""
+    members = neardup_clusters(df, id_col, text_col, min_jaccard)
+    losers = members.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -119,32 +119,50 @@ def neardup_pairs_lsh(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by filter-then-verify: candidates from LSH bucket
-    equality (equi-join — the only shuffle key), then exact cosine on the
-    collisions only.  Recall is the LSH collision probability
-    ``(1 − θ/π)^n_planes`` per table (θ = angle at the threshold), so a
-    production sweep uses several seeds (tables) and unions the candidate
-    sets; precision is exact (every emitted pair is verified).
+    equality (equi-joins — the only shuffle keys), then exact cosine on the
+    collisions only.  Recall per table is the LSH collision probability
+    ``(1 − θ/π)^n_planes`` (θ = angle at the threshold); ``n_tables`` runs
+    independent seeded tables and unions the candidate sets — table 0 uses
+    ``seed`` itself, so raising ``n_tables`` strictly grows the candidate
+    set.  Precision is always exact: every emitted pair is verified.
     """
-    bucketed = with_lsh_bucket(
-        df, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        "lsh_bucket",
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-        & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        cosine(F.col("a._v"), F.col("b._v")).alias("cosine"),
+    pair_sets = []
+    for t in range(n_tables):
+        bucketed = with_lsh_bucket(
+            base, dim=dim, n_planes=n_planes, seed=seed + 1_000_003 * t,
+            vec_col="_v",
+        ).select("_id", "lsh_bucket")
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pair_sets.append(
+            a.join(
+                b,
+                (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            ).select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+        )
+    pairs = pair_sets[0]
+    for extra in pair_sets[1:]:
+        pairs = pairs.union(extra)
+    if n_tables > 1:
+        pairs = pairs.distinct()
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    scored = (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
     )
-    return pairs.where(F.col("cosine") >= threshold)
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:

@@ -132,3 +132,21 @@ def test_sparse_jaccard_matches_allpairs_ground_truth(spark, corpus):
     assert set(got) == set(truth)
     for k in truth:
         assert abs(got[k] - truth[k]) < 1e-12, (k, got[k], truth[k])
+
+
+def test_neardup_clusters_and_dedupe_near(spark, corpus):
+    """End-to-end near-dedup: the planted base cluster (3 exact copies +
+    2 one-edit variants) collapses to one representative; unrelated docs
+    survive untouched."""
+    from pii_redactor_spark.operators.dedup import dedupe_near, neardup_clusters
+
+    members = neardup_clusters(corpus, min_jaccard=0.5)
+    got = {r["doc_id"]: r["cluster_id"] for r in members.collect()}
+    base_cluster = {"d000", "d001", "d002", "d100", "d101"}
+    assert set(got) == base_cluster
+    assert set(got.values()) == {"d000"}  # min-id label propagated
+    kept = dedupe_near(corpus, min_jaccard=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert "d000" in ids
+    assert not (base_cluster - {"d000"}) & ids
+    assert ids >= {r["doc_id"] for r in corpus.select("doc_id").collect()} - base_cluster

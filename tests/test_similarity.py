@@ -121,3 +121,22 @@ def test_neardup_pairs_lsh_finds_planted_dups(spark, emb):
         assert (i, i + 1000) in got
     # no false positives: every emitted pair is exact-verified >= 0.9
     assert all(r["cosine"] >= 0.9 for r in pairs.collect())
+
+
+def test_neardup_lsh_multi_table_grows_candidates(spark, emb):
+    """n_tables=k unions independent seeded tables; table 0 reuses the
+    single-table seed, so verified pairs are a superset."""
+    from pii_redactor_spark.operators.similarity import neardup_pairs_lsh
+
+    base = emb.where(F.col("vec_id") < 60).select("vec_id", "embedding")
+    dup = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    data = base.unionByName(dup)
+    one = {(r["id_a"], r["id_b"])
+           for r in neardup_pairs_lsh(data, threshold=0.9).collect()}
+    three = {(r["id_a"], r["id_b"])
+             for r in neardup_pairs_lsh(data, threshold=0.9, n_tables=3).collect()}
+    assert three >= one
+    for i in range(5):
+        assert (i, i + 1000) in three
