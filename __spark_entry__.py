@@ -553,6 +553,34 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster-size histogram: exact Jaccard >= 0.5 edges from the
+    inverted-index join, connected components by min-label propagation
+    (operators.dedup.connected_components — iterative equi-joins with
+    localCheckpoint lineage truncation), then two hash aggregations.  The
+    DuckDB oracle recomputes components with a recursive CTE over the
+    all-pairs edge list — viable at oracle scale only."""
+    from pii_redactor_spark.operators.dedup import (
+        connected_components,
+        sparse_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    eligible = docs.where(F.size(F.split("text", " ")) >= 3)
+    edges = (
+        sparse_jaccard_pairs(eligible, "doc_id", "text", k=3)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min rolling char-8-gram hash per doc
     (winnowing's bottom-1 sketch), then collision-group stats per lang."""
@@ -824,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_buckets": q_doc_minhash_buckets,
         "doc_simhash_buckets": q_doc_simhash_buckets,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+        "doc_neardup_clusters": q_doc_neardup_clusters,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1160,6 +1189,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pairs,
                    ROUND(AVG(jaccard), 4) AS avg_jaccard
             FROM pairs
+        """,
+        "doc_neardup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           RANGE(1, LEN(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])) AS shingles
+                FROM documents
+                WHERE LEN(string_split(text, ' ')) >= 3
+            ), pr AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles)) * 1.0 /
+                      LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))
+                      >= 0.5
+            ), edges AS (
+                SELECT ia, ib FROM pr UNION SELECT ib AS ia, ia AS ib FROM pr
+            ), reach(id, r) AS (
+                SELECT DISTINCT ia AS id, ia AS r FROM edges
+                UNION
+                SELECT e.ia, reach.r FROM edges e
+                JOIN reach ON e.ib = reach.id
+            ), labels AS (
+                SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+                SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM labels GROUP BY cluster_id
+            ) GROUP BY cluster_size
         """,
         "doc_char_fingerprints": """
             SELECT lang, COUNT(*) AS n_docs,

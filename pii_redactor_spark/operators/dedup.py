@@ -258,6 +258,15 @@ def neardup_clusters(
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b")
     )
+    return connected_components(edges, id_col=id_col, max_iter=max_iter)
+
+
+def connected_components(
+    edges: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components of an ``(id_a, id_b)`` edge list by iterative
+    min-label propagation; returns ``(id_col, cluster_id)`` for every
+    vertex appearing in an edge (cluster_id = min member id)."""
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).distinct().localCheckpoint()
