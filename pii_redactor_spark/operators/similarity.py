@@ -171,23 +171,82 @@ def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def kmeans_fit(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 10,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Spherical k-means codebook (Lloyd) trained with Spark aggregations —
+    upgrades the IVF quantizer from data-independent random directions to a
+    data-fit one (higher recall at the same nprobe).
+
+    Per iteration: assignment is the same broadcast-centroid Arrow matmul
+    as ``ivf_assign``; the update is ``posexplode → groupBy(cell, dim) →
+    sum`` — two hash aggregations with map-side partial agg, and the only
+    thing ever collected is the (n_cells × dim) sum table (1k-ish rows
+    regardless of input size).  At 10^12 rows pass ``sample_fraction`` —
+    codebooks converge on a sample; assignment of the full table stays a
+    single narrow pass.  Empty cells keep their previous centroid.
+    Deterministic: seeded init, deterministic argmax, exact sums.
+    """
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    cents = _ivf_centroids(dim, n_cells, seed)
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            vecs, dim=dim, n_cells=n_cells, seed=seed, vec_col="_v",
+            centroids=cents,
+        )
+        stats = (
+            assigned.select("ivf_cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("ivf_cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells)
+        for r in stats:
+            sums[r["ivf_cell"], r["dim"]] = r["s"]
+            counts[r["ivf_cell"]] = r["n"]
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new[nonempty] = means / norms
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     dim: int = 64,
     n_cells: int = 16,
     seed: int = 7,
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its cosine-nearest
     cell of a seeded random spherical codebook.
 
-    The codebook is data-independent and tiny (n_cells x dim), so assignment
-    is one narrow Arrow-vectorized pass (NumPy matmul per batch) — no
-    training job, no shuffle.  At 10^12 rows ``ivf_cell`` doubles as the
-    storage partition key, so a query's nprobe cells map to partition-pruned
-    scans instead of a full pass.
+    The default codebook is data-independent and tiny (n_cells x dim), so
+    assignment is one narrow Arrow-vectorized pass (NumPy matmul per batch)
+    — no training job, no shuffle; pass ``centroids`` (e.g. from
+    ``kmeans_fit``) for a data-fit codebook with the same plan.  At 10^12
+    rows ``ivf_cell`` doubles as the storage partition key, so a query's
+    nprobe cells map to partition-pruned scans instead of a full pass.
     """
-    cents = _ivf_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else _ivf_centroids(
+        dim, n_cells, seed
+    )
 
     @pandas_udf("int")
     def cell(batch: pd.Series) -> pd.Series:
@@ -209,16 +268,21 @@ def ivf_topk(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine over the query's nprobe nearest IVF
     cells only.  ``nprobe == n_cells`` degrades gracefully to exact search
-    (the recall/latency dial a production index exposes)."""
-    cents = _ivf_centroids(dim, n_cells, seed)
+    (the recall/latency dial a production index exposes).  ``centroids``
+    swaps in a trained codebook (``kmeans_fit``)."""
+    cents = centroids if centroids is not None else _ivf_centroids(
+        dim, n_cells, seed
+    )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
     candidates = ivf_assign(
-        df, dim=dim, n_cells=n_cells, seed=seed, vec_col=vec_col
+        df, dim=dim, n_cells=n_cells, seed=seed, vec_col=vec_col,
+        centroids=cents,
     ).where(F.col("ivf_cell").isin([int(p) for p in probe]))
     return brute_force_topk(candidates.drop("ivf_cell"), query_vec, k,
                             vec_col, id_col)

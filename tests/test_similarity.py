@@ -140,3 +140,64 @@ def test_neardup_lsh_multi_table_grows_candidates(spark, emb):
     assert three >= one
     for i in range(5):
         assert (i, i + 1000) in three
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Spherical k-means on 4 tight orthogonal clusters: deterministic,
+    each planted group assigned to a single cell, and the trained codebook
+    fits the data at least as well as the random one."""
+    import numpy as np
+
+    from pii_redactor_spark.operators.similarity import ivf_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(4):
+        base = np.zeros(8)
+        base[c * 2] = 1.0
+        for i in range(50):
+            v = base + rng.normal(0, 0.05, 8)
+            rows.append((c * 50 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = kmeans_fit(df, n_cells=4, n_iter=10, dim=8, seed=1)
+    assert cents.shape == (4, 8)
+    assigned = ivf_assign(df, dim=8, n_cells=4, centroids=cents)
+    got = assigned.groupBy(
+        F.floor(F.col("vec_id") / 50).alias("g"), "ivf_cell"
+    ).count().collect()
+    mapping: dict[int, set[int]] = {}
+    for r in got:
+        mapping.setdefault(int(r["g"]), set()).add(r["ivf_cell"])
+    assert all(len(cells) == 1 for cells in mapping.values()), mapping
+    assert len({next(iter(c)) for c in mapping.values()}) == 4, mapping
+
+    # quantization quality: mean cosine to the assigned centroid must be
+    # >= the data-independent random codebook's
+    def mean_assign_cos(centroids):
+        m = np.array([r for _vid, r in rows])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ centroids.T
+        return float(sims.max(axis=1).mean())
+
+    from pii_redactor_spark.operators.similarity import _ivf_centroids
+
+    assert mean_assign_cos(cents) >= mean_assign_cos(_ivf_centroids(8, 4, 1))
+
+
+def test_ivf_topk_with_trained_codebook_exact_at_full_probe(spark, emb, qvec):
+    import numpy as np
+
+    from pii_redactor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    base = emb.where(F.col("vec_id") != 0)
+    cents = kmeans_fit(emb, n_cells=8, n_iter=3, dim=64, seed=5)
+    exact = [(r["vec_id"], round(r["cosine"], 9))
+             for r in brute_force_topk(base, qvec, k=10).collect()]
+    full = [(r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(base, qvec, k=10, nprobe=8, n_cells=8,
+                              centroids=cents).collect()]
+    assert exact == full
