@@ -135,9 +135,68 @@ for _he in (False, True):
                 _BANKS_BY_FLAGS[(_he, _up, _dig, _at)] = tuple(_banks)
 
 
+_DIGIT_TABLE = None
+
+
+def _digit_table():
+    """Lazy BMP table for the `\\d` (Unicode Nd) guard — built with the
+    guard regex itself so the verdicts are identical by construction."""
+    global _DIGIT_TABLE
+    if _DIGIT_TABLE is None:
+        import numpy as np
+
+        _DIGIT_TABLE = np.fromiter(
+            (_HAS_DIGIT(chr(c)) is not None for c in range(0x10000)),
+            dtype=bool, count=0x10000,
+        )
+    return _DIGIT_TABLE
+
+
+def guard_flags_batch(n: int, codes, text_id) -> list[tuple[bool, bool, bool, bool]]:
+    """Per-text guard flags for a whole batch from the shared flat
+    codepoint array (``core.quality.flat_codes``): four bincount presence
+    checks instead of four regex scans per row."""
+    import numpy as np
+
+    if not len(codes):
+        return [(False, False, False, False)] * n
+
+    def present(mask):
+        return np.bincount(text_id[mask], minlength=n) > 0
+
+    he = present((codes >= 0x05D0) & (codes <= 0x05EA))
+    up = present((codes >= 65) & (codes <= 90))
+    at = present(codes == 64)
+    dig_mask = _digit_table()[np.minimum(codes, 0xFFFF)]
+    hi = codes > 0xFFFF
+    if hi.any():
+        verd = {int(c): _HAS_DIGIT(chr(c)) is not None
+                for c in np.unique(codes[hi])}
+        dig_mask[hi] = np.fromiter(
+            (verd[int(c)] for c in codes[hi]), dtype=bool,
+            count=int(hi.sum()),
+        )
+    dig = present(dig_mask)
+    return [
+        (bool(h), bool(u), bool(d), bool(a))
+        for h, u, d, a in zip(he, up, dig, at)
+    ]
+
+
+def guard_flags(text: str) -> tuple[bool, bool, bool, bool]:
+    """(hebrew, ascii-upper, digit, '@') prefilter flags for one text.
+    ``scrub_batch`` computes the same four flags for a whole Arrow batch
+    from the shared codepoint array instead (one vectorized pass)."""
+    return (
+        bool(_HAS_HEBREW(text)), bool(_HAS_UPPER(text)),
+        bool(_HAS_DIGIT(text)), "@" in text,
+    )
+
+
 def detect_spans(
     text: str,
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    flags: tuple[bool, bool, bool, bool] | None = None,
 ) -> list[tuple[int, int, str, float]]:
     """Find all PII spans in ``text``.
 
@@ -150,10 +209,7 @@ def detect_spans(
     if not text:
         return []
 
-    banks = _BANKS_BY_FLAGS[(
-        bool(_HAS_HEBREW(text)), bool(_HAS_UPPER(text)),
-        bool(_HAS_DIGIT(text)), "@" in text,
-    )]
+    banks = _BANKS_BY_FLAGS[flags if flags is not None else guard_flags(text)]
     if not banks:
         return []
 

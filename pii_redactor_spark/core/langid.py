@@ -69,7 +69,10 @@ _HE_LO, _HE_HI = ord("א"), ord("ת")
 _SRE_FOLD = str.maketrans({"İ": "i", "ı": "i", "ſ": "s"})
 
 
-def classify_batch(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+def classify_batch(
+    texts: Sequence[str],
+    flat: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """Return (langs: array[str], confidence: array[float]) for a batch."""
     import itertools
 
@@ -79,11 +82,13 @@ def classify_batch(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     scores = np.zeros((n, len(LANGS)), dtype=np.float64)
     clean = [t or "" for t in texts]
 
-    # script + marker scores from one flat codepoint array
-    joined = "\x00".join(t.replace("\x00", "\x01") for t in clean)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # script + marker scores from the shared flat codepoint array
+    if flat is None:
+        from .quality import flat_codes
+
+        flat = flat_codes(texts)
+    codes, text_id = flat
     if len(codes):
-        text_id = np.cumsum(codes == 0)
         he = (codes >= _HE_LO) & (codes <= _HE_HI)
         scores[:, 0] = 3.0 * np.bincount(text_id[he], minlength=n)
         if _MARKER_CODES:

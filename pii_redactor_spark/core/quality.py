@@ -26,6 +26,22 @@ import pandas as pd
 from . import generators as gen
 from .templates import LANGUAGES, templates_for
 
+# --- Shared flat codepoint batch --------------------------------------------
+# One encode + separator cumsum serves the heuristics, the trigram LM, and
+# langid (each used to build its own — three O(batch) passes for the same
+# array).  Separator is NUL; payload NULs become \x01 (same is-symbol
+# verdict, not a digit/letter/marker/space — every consumer's semantics are
+# preserved; a literal \x01 payload byte was already indistinguishable from
+# this mapping for all of them).
+
+
+def flat_codes(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(codes: uint32 with 0 separators, text_id: per-position row index)."""
+    joined = "\x00".join((t or "").replace("\x00", "\x01") for t in texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    return codes, np.cumsum(codes == 0)
+
+
 # --- Trigram LM --------------------------------------------------------------
 _P1 = np.uint64(1000003)
 _ALPHA = 0.1
@@ -81,19 +97,21 @@ class TrigramLM:
         out = np.where(hit, counts[idx_c], 0.0)
         return out
 
-    def bits_per_char(self, texts: Sequence[str]) -> np.ndarray:
-        """Mean -log2 p(c3|c1c2) per text; vectorized over the whole batch."""
+    def bits_per_char(
+        self,
+        texts: Sequence[str],
+        flat: tuple[np.ndarray, np.ndarray] | None = None,
+    ) -> np.ndarray:
+        """Mean -log2 p(c3|c1c2) per text; vectorized over the whole batch.
+
+        Uses the shared ``flat_codes`` array (payload NULs as \\x01 — a
+        caption containing \\x00 would otherwise shift text-id alignment
+        for the rest of the batch)."""
         n = len(texts)
         if n == 0:
             return np.zeros(0)
-        # One flat codepoint array with text-id bookkeeping.  NUL is the
-        # separator, so scrub NULs from payload text (else a caption
-        # containing \x00 would shift the text-id alignment for the whole
-        # remainder of the batch).
-        joined = "\x00".join((t or "").replace("\x00", " ") for t in texts)
-        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-        codes = codes.astype(np.uint64)
-        text_id = np.cumsum(codes == 0)  # separator increments id
+        codes32, text_id = flat if flat is not None else flat_codes(texts)
+        codes = codes32.astype(np.uint64)
         if len(codes) < 3:
             return np.full(n, 20.0)
         h2, h3 = _hash_trigrams(codes)
@@ -179,7 +197,9 @@ def _sym_table() -> np.ndarray:
 
 
 def heuristics_batch(
-    texts: Sequence[str], cfg: QualityConfig = DEFAULT_QUALITY
+    texts: Sequence[str],
+    cfg: QualityConfig = DEFAULT_QUALITY,
+    flat: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict[str, np.ndarray]:
     """Compute per-text heuristic metrics for a batch.
 
@@ -191,14 +211,10 @@ def heuristics_batch(
     n = len(texts)
     clean = [t or "" for t in texts]
     n_chars = np.fromiter(map(len, clean), np.int64, count=n)
-    # Vectorized symbol counting: one flat codepoint array for the batch,
+    # Vectorized symbol counting over the shared flat codepoint array:
     # verdict via the per-process BMP lookup table (astral codepoints fall
     # back to an exact per-distinct check), then a per-text bincount.
-    # payload NULs -> \x01: keeps separator alignment, and \x01 has the same
-    # is-symbol verdict as \x00 (neither alnum nor space), so counts match
-    # the per-char original exactly.
-    joined = "\x00".join(t.replace("\x00", "\x01") for t in clean)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    codes, text_id = flat if flat is not None else flat_codes(texts)
     if len(codes):
         bmp = np.minimum(codes, 0xFFFF)
         is_sym = _sym_table()[bmp]
@@ -213,7 +229,6 @@ def heuristics_batch(
                 (hi_sym[int(c)] for c in codes[hi]), dtype=bool,
                 count=int(hi.sum()),
             )
-        text_id = np.cumsum(codes == 0)
         sym_counts = np.bincount(text_id[is_sym], minlength=n)
     else:
         sym_counts = np.zeros(n, dtype=np.int64)
@@ -228,11 +243,11 @@ def heuristics_batch(
     stopword_cov = np.zeros(n)
     if total:
         row = np.repeat(np.arange(n), n_tokens)
-        flat = np.fromiter(
+        flat_toks = np.fromiter(
             itertools.chain.from_iterable(toks_lists), dtype=object,
             count=total,
         )
-        rcodes, runiq = pd.factorize(flat)
+        rcodes, runiq = pd.factorize(flat_toks)
         low = np.fromiter(
             (u.strip(_TOKEN_STRIP).lower() for u in runiq), dtype=object,
             count=len(runiq),
@@ -266,15 +281,19 @@ def heuristics_batch(
 
 
 def quality_flags_batch(
-    texts: Sequence[str], cfg: QualityConfig = DEFAULT_QUALITY
+    texts: Sequence[str],
+    cfg: QualityConfig = DEFAULT_QUALITY,
+    flat: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[list[list[str]], np.ndarray, dict[str, np.ndarray]]:
     """Evaluate all quality rules over a batch.
 
     Returns (flags per text, bits_per_char array, heuristic metrics dict).
     A text is kept iff its flag list is empty.
     """
-    m = heuristics_batch(texts, cfg)
-    bpc = trigram_lm().bits_per_char(texts)
+    if flat is None:
+        flat = flat_codes(texts)
+    m = heuristics_batch(texts, cfg, flat)
+    bpc = trigram_lm().bits_per_char(texts, flat)
     fails = {
         "too_short": m["n_chars"] < cfg.min_chars,
         "too_long": m["n_chars"] > cfg.max_chars,

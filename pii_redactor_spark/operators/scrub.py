@@ -30,10 +30,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..core.classify import classify_entity
-from ..core.detect import DEFAULT_CONFIDENCE_THRESHOLD, detect_spans
+from ..core.detect import (
+    DEFAULT_CONFIDENCE_THRESHOLD,
+    detect_spans,
+    guard_flags_batch,
+)
 from ..core.langid import classify_batch
 from ..core.patterns import DEFAULT_MASK
-from ..core.quality import DEFAULT_QUALITY, QualityConfig, quality_flags_batch
+from ..core.quality import (
+    DEFAULT_QUALITY,
+    QualityConfig,
+    flat_codes,
+    quality_flags_batch,
+)
 from ..core.redact import redact_simple, redact_typed
 
 # Built as objects (not a DDL string) so the module imports without an
@@ -96,15 +105,17 @@ def scrub_batch(
     texts: list[str], cfg: ScrubConfig = DEFAULT_SCRUB
 ) -> pd.DataFrame:
     """Vectorized scrub of one Arrow batch of captions."""
-    langs, confs = classify_batch(texts)
-    flags, bpc, metrics = quality_flags_batch(texts, cfg.quality)
+    flat = flat_codes(texts)
+    langs, confs = classify_batch(texts, flat)
+    flags, bpc, metrics = quality_flags_batch(texts, cfg.quality, flat)
+    gflags = guard_flags_batch(len(texts), *flat)
 
     entities_col: list[list[tuple]] = []
     scrubbed_col: list[str] = []
     simple_col: list[str] = []
     has_pii_col: list[bool] = []
-    for text in texts:
-        spans = detect_spans(text, cfg.confidence_threshold)
+    for text, gf in zip(texts, gflags):
+        spans = detect_spans(text, cfg.confidence_threshold, gf)
         ents = [
             (classify_entity(text[s:e]), text[s:e], s, e, c)
             for s, e, _, c in spans
