@@ -34,11 +34,16 @@ def main(argv: list[str] | None = None) -> None:
                    default="decisions")
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--prefixes-per-commit", type=int, default=64)
+    # PIIRedactor / redact() dials (reference inference.py:68,356-360)
+    p.add_argument("--confidence-threshold", type=float, default=0.5)
+    p.add_argument("--replacement", default="[REDACTED]")
+    p.add_argument("--no-preserve-format", action="store_true")
     args = p.parse_args(argv)
 
     # Import AFTER spark-submit has placed --py-files on sys.path.
     from pyspark.sql import SparkSession
 
+    from pii_redactor_spark.operators.scrub import ScrubConfig
     from pii_redactor_spark.pipeline.run import run_pipeline
 
     spark = (
@@ -62,6 +67,11 @@ def main(argv: list[str] | None = None) -> None:
         prefixes_per_commit=args.prefixes_per_commit,
         salt_partitions=args.salt_partitions,
         materialize_bytes=(args.mode == "materialize"),
+        scrub_cfg=ScrubConfig(
+            confidence_threshold=args.confidence_threshold,
+            replacement=args.replacement,
+            preserve_format=not args.no_preserve_format,
+        ),
     )
     summary["mode"] = args.mode
     summary["rows"] = summary["n_in"]

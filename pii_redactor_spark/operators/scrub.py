@@ -174,13 +174,20 @@ def make_scrub_udf(cfg: ScrubConfig = DEFAULT_SCRUB):
 scrub_udf = make_scrub_udf()
 
 
-def scrub_expr(caption_col: str = "caption") -> Column:
-    return scrub_udf(F.col(caption_col))
+def scrub_expr(
+    caption_col: str = "caption", cfg: ScrubConfig = DEFAULT_SCRUB
+) -> Column:
+    udf = scrub_udf if cfg is DEFAULT_SCRUB else make_scrub_udf(cfg)
+    return udf(F.col(caption_col))
 
 
-def with_scrub(df: DataFrame, caption_col: str = "caption") -> DataFrame:
+def with_scrub(
+    df: DataFrame,
+    caption_col: str = "caption",
+    cfg: ScrubConfig = DEFAULT_SCRUB,
+) -> DataFrame:
     """Attach scrub results as flat columns; bytes never leave the JVM."""
-    return df.withColumn("_scrub", scrub_expr(caption_col)).select(
+    return df.withColumn("_scrub", scrub_expr(caption_col, cfg)).select(
         "*", "_scrub.*"
     ).drop("_scrub")
 

@@ -28,7 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.scrub import with_scrub
+from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
 from ..sources import storage
 
 DECISION_COLS = [
@@ -76,6 +76,7 @@ def scrub_images(
     df: DataFrame,
     salt_partitions: int | None = None,
     seed: int = 42,
+    cfg: ScrubConfig = DEFAULT_SCRUB,
 ) -> DataFrame:
     """Scrub transform: optional salted repartition, then the UDF stage.
 
@@ -89,7 +90,7 @@ def scrub_images(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
-    scrubbed = with_scrub(df)
+    scrubbed = with_scrub(df, cfg=cfg)
     return scrubbed.withColumn("n_entities", F.size("entities"))
 
 
@@ -97,6 +98,7 @@ def scrub_decisions(
     df: DataFrame,
     salt_partitions: int | None = None,
     seed: int = 42,
+    cfg: ScrubConfig = DEFAULT_SCRUB,
 ) -> DataFrame:
     """The at-scale form of the scrub job: decisions only, bytes untouched.
 
@@ -117,7 +119,7 @@ def scrub_decisions(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
-    scrubbed = with_scrub(pruned)
+    scrubbed = with_scrub(pruned, cfg=cfg)
     return scrubbed.withColumn("n_entities", F.size("entities")).select(
         *DECISION_COLS, "scrubbed", "scrubbed_simple"
     )
@@ -134,6 +136,7 @@ def run_pipeline(
     materialize_bytes: bool = True,
     fail_before_snapshot: int | None = None,
     anti_join_min_parts: int = ANTI_JOIN_MIN_PARTS,
+    scrub_cfg: ScrubConfig = DEFAULT_SCRUB,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
@@ -164,7 +167,8 @@ def run_pipeline(
 
         part = src.where(F.col("phash_prefix").isin(group))
         if materialize_bytes:
-            result = scrub_images(part, salt_partitions=salt_partitions)
+            result = scrub_images(part, salt_partitions=salt_partitions,
+                                  cfg=scrub_cfg)
             out = (
                 result.withColumn("caption_raw", F.col("caption"))
                 .withColumn("caption", F.col("scrubbed"))
@@ -177,7 +181,8 @@ def run_pipeline(
                 out, data_path, ["phash_prefix", "keep_part"]
             )
         else:
-            result = scrub_decisions(part, salt_partitions=salt_partitions)
+            result = scrub_decisions(part, salt_partitions=salt_partitions,
+                                     cfg=scrub_cfg)
             storage.write_partitioned(result, data_path, ["phash_prefix"])
 
         # Counters from the *written* data (column-pruned read; never re-runs

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.scrub import with_scrub
+from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
 from ..pipeline.run import DECISION_COLS
 
 
@@ -34,6 +34,7 @@ def scrub_file_stream(
     input_dir: str,
     schema: str | None = None,
     max_files_per_trigger: int | None = None,
+    cfg: ScrubConfig = DEFAULT_SCRUB,
 ) -> DataFrame:
     """Streaming DataFrame of scrub decisions over a growing parquet dir.
 
@@ -50,7 +51,7 @@ def scrub_file_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(input_dir)
     pruned = src.select("image_id", "phash_prefix", "caption")
-    scrubbed = with_scrub(pruned)
+    scrubbed = with_scrub(pruned, cfg=cfg)
     # Same projection as the batch decisions table (scrub_decisions) —
     # consumers written against one schema must work on both.
     return scrubbed.withColumn("n_entities", F.size("entities")).select(

@@ -239,3 +239,28 @@ def test_resume_via_anti_join_path(spark, tmp_root, fixture_tables):
     assert data.count() == N_ROWS
     assert data.groupBy("image_id").count().where(
         F.col("count") > 1).count() == 0
+
+
+def test_decisions_with_plain_replacement_config(spark, fixture_tables):
+    """ScrubConfig flows through scrub_decisions: preserve_format=False
+    masks every entity with the single custom token."""
+    from pii_redactor_spark.operators.scrub import ScrubConfig
+    from pii_redactor_spark.pipeline.run import scrub_decisions
+
+    images_path, _ = fixture_tables
+    src = spark.read.parquet(images_path).limit(200)
+    dec = scrub_decisions(
+        src, cfg=ScrubConfig(replacement="<PII>", preserve_format=False)
+    ).cache()
+    with_pii = dec.where(F.col("has_pii"))
+    assert with_pii.count() > 0
+    typed = with_pii.where(
+        F.col("scrubbed").contains("[NAME_REDACTED]")
+        | F.col("scrubbed").contains("[EMAIL_REDACTED]")
+        | F.col("scrubbed").contains("[PHONE_REDACTED]")
+        | F.col("scrubbed").contains("[ID_REDACTED]")
+        | F.col("scrubbed").contains("[REDACTED]")
+    ).count()
+    assert typed == 0
+    assert with_pii.where(F.col("scrubbed").contains("<PII>")).count() == \
+        with_pii.count()
