@@ -8,9 +8,11 @@ training-data-pipeline operators (exact/near dedup, embedding similarity,
 text analysis).  Every query aliases computed columns identically to its
 ``oracle_sql()`` DuckDB statement.
 
-Queries without an oracle entry (suffix ``_nosql``) are genuinely
-non-SQL-expressible here (seeded LSH bucketing, UDF-backed scrubbing) and get
-the driver's rows-only check; their semantics are pinned by pytest instead.
+Since round 2 every query is oracle-checked: the UDF-backed scrub queries
+and the seeded index queries (LSH buckets, IVF cells) compare against
+ground-truth tables materialized by an independent implementation
+(``pii_redactor_spark.fixtures.oracle_cache`` — row-at-a-time reference
+scrub, plain-NumPy index assignment) that DuckDB then aggregates.
 """
 
 from __future__ import annotations
@@ -803,17 +805,20 @@ def q_doc_entity_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_embedding_lsh_nosql(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN scale path: seeded random-hyperplane LSH bucket histogram."""
+def q_embedding_lsh_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: seeded random-hyperplane LSH bucket histogram.
+    Oracled since round 2 via an independent NumPy recomputation of the
+    bucket assignment (fixtures.oracle_cache)."""
     from pii_redactor_spark.operators.similarity import lsh_bucket_histogram
 
     return lsh_bucket_histogram(_t(spark, sf, "embeddings"), n_planes=8, seed=42)
 
 
-def q_embedding_ivf_nosql(spark: SparkSession, sf: str) -> DataFrame:
+def q_embedding_ivf_cells(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path #2: IVF coarse-quantizer cell occupancy (the cell id is
     the partition key at 10^12 rows; full-probe degrades to exact search —
-    pinned by tests/test_similarity.py)."""
+    pinned by tests/test_similarity.py).  Oracled since round 2 via the
+    independent NumPy index materialization (fixtures.oracle_cache)."""
     from pii_redactor_spark.operators.similarity import ivf_assign
 
     return (
@@ -860,8 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": q_embedding_label_centroids,
         "doc_scrub": q_doc_scrub,
         "doc_entity_stats": q_doc_entity_stats,
-        "embedding_lsh_nosql": q_embedding_lsh_nosql,
-        "embedding_ivf_nosql": q_embedding_ivf_nosql,
+        "embedding_lsh_hist": q_embedding_lsh_hist,
+        "embedding_ivf_cells": q_embedding_ivf_cells,
     }
 
 
@@ -869,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
     import os
 
     from pii_redactor_spark.fixtures.oracle_cache import (
+        materialize_embedding_oracle,
         materialize_scrub_oracle,
     )
 
@@ -878,7 +884,18 @@ def oracle_sql() -> dict[str, str]:
         "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
     )
     scrub_path, ent_path = materialize_scrub_oracle(oracle_sf)
+    emb_path = materialize_embedding_oracle(oracle_sf)
     return {
+        "embedding_lsh_hist": f"""
+            SELECT bucket_size, COUNT(*) AS n_buckets FROM (
+                SELECT lsh_bucket, COUNT(*) AS bucket_size
+                FROM read_parquet('{emb_path}') GROUP BY lsh_bucket
+            ) GROUP BY bucket_size
+        """,
+        "embedding_ivf_cells": f"""
+            SELECT ivf_cell, COUNT(*) AS n_vectors
+            FROM read_parquet('{emb_path}') GROUP BY ivf_cell
+        """,
         "doc_scrub": f"""
             SELECT lang, keep, lang_detected, COUNT(*) AS count
             FROM read_parquet('{scrub_path}')

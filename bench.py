@@ -35,7 +35,7 @@ HEADLINE = [
     "doc_exact_dedup",
     "part_supplier_revenue",
     "embedding_topk",
-    "embedding_lsh_nosql",
+    "embedding_lsh_hist",
 ]
 
 
@@ -105,7 +105,8 @@ def _previous_round_timings() -> dict[str, float]:
     import glob
     import re
 
-    renames = {"doc_scrub_nosql": "doc_scrub"}
+    renames = {"doc_scrub_nosql": "doc_scrub",
+               "embedding_lsh_nosql": "embedding_lsh_hist"}
     here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),

@@ -85,3 +85,47 @@ def materialize_scrub_oracle(
         df.to_parquet(tmp, index=False)
         os.replace(tmp, path)
     return scrub_path, ent_path
+
+
+def materialize_embedding_oracle(
+    sf_dir: str, cache_root: str | None = None
+) -> str:
+    """Ground truth for the seeded embedding-index queries: per-vector
+    LSH bucket (random-hyperplane sign bits, n_planes=8 seed=42) and IVF
+    cell (cosine-nearest random spherical centroid, n_cells=16 seed=7),
+    recomputed here in plain NumPy — an independent path from the Spark
+    in-plan literals / Arrow UDF — so DuckDB can hash-check the index
+    histograms instead of a rows-only count."""
+    import numpy as np
+
+    cache_root = cache_root or os.path.join(_REPO_ROOT, ".cache")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, f"oracle_{tag}")
+    path = os.path.join(out_dir, "embedding_index_expected.parquet")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(src):
+        return path
+
+    from ..operators.similarity import _hyperplanes, _ivf_centroids
+
+    os.makedirs(out_dir, exist_ok=True)
+    emb = pd.read_parquet(src, columns=["vec_id", "embedding"])
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    planes = _hyperplanes(m.shape[1], 8, 42)
+    bits = (m @ planes.T > 0).astype(np.int64)
+    lsh_bucket = bits @ (1 << np.arange(8))
+    cents = _ivf_centroids(m.shape[1], 16, 7)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ivf_cell = np.argmax((m / norms) @ cents.T, axis=1)
+    out = pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"].to_numpy(),
+            "lsh_bucket": lsh_bucket.astype(np.int32),
+            "ivf_cell": ivf_cell.astype(np.int32),
+        }
+    )
+    tmp = path + ".tmp"
+    out.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
