@@ -288,6 +288,58 @@ def ivf_topk(
                             vec_col, id_col)
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> None:
+    """Materialize the ANN store partitioned by IVF cell: each cell is a
+    partition directory, so an nprobe search is a partition-PRUNED scan —
+    the cells outside the probe set are never read from storage (the
+    Iceberg form is the identity partition transform on ivf_cell).
+    One repartition on the cell id before the write keeps file counts
+    bounded by cells, not tasks × cells."""
+    assigned = ivf_assign(
+        df, dim=dim, n_cells=n_cells, seed=seed, vec_col=vec_col,
+        centroids=centroids,
+    )
+    assigned.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Top-k against a ``write_ivf_partitioned`` store: the probe-cell
+    filter is a partition filter (verify: PartitionFilters on the scan in
+    ``.explain``), so storage cost is nprobe/n_cells of the table."""
+    cents = centroids if centroids is not None else _ivf_centroids(
+        dim, n_cells, seed
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [int(p) for p in np.argsort(-(cents @ qn))[:nprobe]]
+    candidates = spark.read.parquet(path).where(
+        F.col("ivf_cell").isin(probe)
+    )
+    return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

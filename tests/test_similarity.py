@@ -201,3 +201,38 @@ def test_ivf_topk_with_trained_codebook_exact_at_full_probe(spark, emb, qvec):
             for r in ivf_topk(base, qvec, k=10, nprobe=8, n_cells=8,
                               centroids=cents).collect()]
     assert exact == full
+
+
+def test_ivf_partitioned_store_prunes_partitions(spark, emb, qvec, tmp_root):
+    """The ANN store's probe filter must be a PARTITION filter (cells
+    outside the probe set never read), and full-probe results must equal
+    the unpartitioned exact search."""
+    import contextlib
+    import io
+
+    from pii_redactor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_partitioned,
+        write_ivf_partitioned,
+    )
+
+    path = f"{tmp_root}/ivf_store"
+    write_ivf_partitioned(emb.where(F.col("vec_id") != 0), path)
+    topk = ivf_topk_partitioned(spark, path, qvec, k=10, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        topk.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in seg, plan
+    # full probe == exact search
+    full = ivf_topk_partitioned(
+        spark, path, qvec, k=10, nprobe=16, n_cells=16
+    ).select("vec_id", "cosine")
+    exact = brute_force_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10
+    ).select("vec_id", "cosine")
+    f = [(r["vec_id"], round(r["cosine"], 9)) for r in full.collect()]
+    e = [(r["vec_id"], round(r["cosine"], 9)) for r in exact.collect()]
+    assert f == e
