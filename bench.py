@@ -108,10 +108,14 @@ def _previous_round_timings() -> dict[str, float]:
     renames = {"doc_scrub_nosql": "doc_scrub",
                "embedding_lsh_nosql": "embedding_lsh_hist"}
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    candidates = [
+        (re.search(r"BENCH_r(\d+)\.json$", p), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    benches = [p for m, p in sorted(
+        ((m, p) for m, p in candidates if m),
+        key=lambda mp: int(mp[0].group(1)),
+    )]
     if not benches:
         return {}
     try:

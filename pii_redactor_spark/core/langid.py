@@ -63,8 +63,14 @@ _STOPSETS = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
 _LATIN_LANGS = LANGS[1:]
 _MARKER_CODES: dict[int, int] = {}  # codepoint -> lang column index
 for _j, _lang in enumerate(_LATIN_LANGS, start=1):
-    for _ch in _MARKERS[_lang] + _MARKERS[_lang].upper():
+    for _ch in _MARKERS[_lang]:
         _MARKER_CODES[ord(_ch)] = _j
+        _up = _ch.upper()
+        # per-char uppercase only: 'ß'.upper() == 'SS' would otherwise
+        # register plain ASCII 'S' as a German marker (+1.5 per 'S' — the
+        # round-1 regex char class '[ßäöüSSÄÖÜ]' had exactly that defect)
+        if len(_up) == 1:
+            _MARKER_CODES[ord(_up)] = _j
 _HE_LO, _HE_HI = ord("א"), ord("ת")
 _SRE_FOLD = str.maketrans({"İ": "i", "ı": "i", "ſ": "s"})
 

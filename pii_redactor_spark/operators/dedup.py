@@ -262,11 +262,16 @@ def neardup_clusters(
 
 
 def connected_components(
-    edges: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+    edges: DataFrame, id_col: str = "doc_id", max_iter: int = 50
 ) -> DataFrame:
     """Connected components of an ``(id_a, id_b)`` edge list by iterative
     min-label propagation; returns ``(id_col, cluster_id)`` for every
-    vertex appearing in an edge (cluster_id = min member id)."""
+    vertex appearing in an edge (cluster_id = min member id).
+
+    Convergence needs O(component diameter) rounds; near-dup clusters are
+    small and dense so a handful suffice, but a pathological chain longer
+    than ``max_iter`` would silently mislabel — so non-convergence RAISES
+    instead of returning split clusters."""
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).distinct().localCheckpoint()
@@ -297,6 +302,11 @@ def connected_components(
         ).localCheckpoint()
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter; raise max_iter)"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

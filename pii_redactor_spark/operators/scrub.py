@@ -177,7 +177,7 @@ scrub_udf = make_scrub_udf()
 def scrub_expr(
     caption_col: str = "caption", cfg: ScrubConfig = DEFAULT_SCRUB
 ) -> Column:
-    udf = scrub_udf if cfg is DEFAULT_SCRUB else make_scrub_udf(cfg)
+    udf = scrub_udf if cfg == DEFAULT_SCRUB else make_scrub_udf(cfg)
     return udf(F.col(caption_col))
 
 
@@ -192,21 +192,36 @@ def with_scrub(
     ).drop("_scrub")
 
 
+# Partition-count probe cache: file count is a wrong proxy in both
+# directions (64 tiny files pack into ~2 partitions; one huge splittable
+# file yields many), so the truthful probe stays rdd.getNumPartitions() —
+# but its RDD conversion is paid once per distinct input file set, not per
+# call.
+_NPART_CACHE: dict[tuple, int] = {}
+
+
 def parallelize_for_udf(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Ensure the CPU-bound UDF stage has >= cores*min_factor partitions.
 
-    At 100 TB the scan yields thousands of files/splits and this is a no-op;
-    on a small few-file input (bench/test scale) the scan gives one
-    partition and would serialize the whole UDF stage — one round-robin
-    repartition (cheap: the table is small precisely when this fires)
-    restores parallelism.  The probe is ``inputFiles()`` (a file listing on
-    the analyzed plan) rather than ``df.rdd.getNumPartitions()``, which
-    forced a full RDD conversion on every call."""
+    At 100 TB the scan yields thousands of splits and this is a no-op; on a
+    small input (bench/test scale) the scan gives one partition and would
+    serialize the whole UDF stage — one round-robin repartition (cheap: the
+    table is small precisely when this fires) restores parallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    key = None
     try:
-        n_files = len(df.inputFiles())
-    except Exception:  # non-file sources: leave the plan alone
-        return df
-    if 0 < n_files < target:
+        files = df.inputFiles()
+        if files:
+            key = (tuple(sorted(files)), target)
+    except Exception:
+        pass
+    n = _NPART_CACHE.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            if len(_NPART_CACHE) > 256:
+                _NPART_CACHE.clear()
+            _NPART_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df

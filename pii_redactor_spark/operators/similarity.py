@@ -94,18 +94,26 @@ def mean_pairwise_cosine(
     every ‖v̂‖² = 1).  So the exact all-pairs mean needs only the per-dim
     sums of the normalized vectors: one narrow aggregation instead of an
     O(n²) self-join.  Returns one row: (n: long, sum_pairwise: double).
+
+    Zero-norm vectors have no defined cosine; they are EXCLUDED from both
+    ``n`` and the sums (the all-pairs join form would instead poison its
+    average with NaNs), so pair statistics are over the vectors for which
+    cosine exists.
     """
-    normed = df.withColumn(
-        "_nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    ).select(
-        F.transform(F.col(vec_col), lambda x: x / F.col("_nrm")).alias("_v")
+    normed = (
+        df.select(F.col(vec_col).alias("_raw"))
+        .withColumn("_nrm", F.sqrt(dot(F.col("_raw"), F.col("_raw"))))
+        .where(F.col("_nrm") > 0)
+        .select(
+            F.transform(F.col("_raw"), lambda x: x / F.col("_nrm")).alias("_v")
+        )
     )
     dims = normed.select(F.posexplode("_v").alias("dim", "v"))
     per_dim = dims.groupBy("dim").agg(F.sum("v").alias("s"))
     sumsq = per_dim.agg(
         F.sum(F.col("s") * F.col("s")).alias("_sumsq")
     )
-    n = df.agg(F.count("*").alias("n"))
+    n = normed.agg(F.count("*").alias("n"))
     return n.crossJoin(sumsq).select(
         "n", ((F.col("_sumsq") - F.col("n")) / 2).alias("sum_pairwise")
     )
@@ -337,7 +345,9 @@ def ivf_topk_partitioned(
     candidates = spark.read.parquet(path).where(
         F.col("ivf_cell").isin(probe)
     )
-    return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
+    return brute_force_topk(
+        candidates.drop("ivf_cell"), query_vec, k, vec_col, id_col
+    )
 
 
 def lsh_topk(

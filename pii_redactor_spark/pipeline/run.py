@@ -57,19 +57,25 @@ def todo_prefixes(
     becomes a broadcast DataFrame and todo comes from
     ``distinct LEFT ANTI committed``: the python-side set filter never runs
     and the collect is bounded by the *remaining* work.
+
+    Returns ``(todo, n_skipped)`` where ``n_skipped`` counts only committed
+    parts that are prefixes of THIS input (a manifest may carry parts from a
+    broader earlier run; those are not part of this job's totals).
     """
     done = storage.committed_parts(data_path)
     distinct = src.select("phash_prefix").distinct()
     if len(done) < anti_join_min_parts:
         all_p = sorted(r[0] for r in distinct.collect())
-        return [p for p in all_p if p not in done], len(done)
+        todo = [p for p in all_p if p not in done]
+        return todo, len(all_p) - len(todo)
     done_df = spark.createDataFrame(
         [(int(p),) for p in sorted(done)], "phash_prefix int"
     )
     todo_df = distinct.join(
         F.broadcast(done_df), "phash_prefix", "left_anti"
     )
-    return sorted(r[0] for r in todo_df.collect()), len(done)
+    todo = sorted(r[0] for r in todo_df.collect())
+    return todo, distinct.count() - len(todo)
 
 
 def scrub_images(

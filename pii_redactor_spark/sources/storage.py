@@ -81,7 +81,7 @@ def write_bucketed(
         entries = os.listdir(loc)
         if all(
             e.startswith(("part-", ".part-", "_SUCCESS", "._SUCCESS",
-                          "_committed", "_started"))
+                          "_committed", "_started", "_temporary"))
             or e.endswith(".parquet")
             for e in entries
         ):
