@@ -135,3 +135,27 @@ def test_make_scrub_udf_config_round_trip(spark):
     assert [e["entity_type"] for e in got["b"]["entities"]] == ["EMAIL"]
     assert got["b"]["entities"][0]["confidence"] == 0.99
     assert got["b"]["scrubbed"] == "Contact <PII> now"
+
+
+def test_analyze_job_end_to_end(spark, tmp_root, decisions):
+    """jobs/analyze_job.analyze_to writes all four analysis tables from a
+    materialized decisions table."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "analyze_job", "jobs/analyze_job.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df, _ = decisions
+    path = f"{tmp_root}/anj_in"
+    df.write.mode("overwrite").parquet(path)
+    out = f"{tmp_root}/anj_out"
+    mod.analyze_to(spark, path, out)
+    assert spark.read.parquet(f"{out}/entity_counts").count() > 0
+    mc = spark.read.parquet(f"{out}/mean_confidence").collect()[0]
+    assert 0.5 <= mc["mean_confidence"] <= 1.0
+    assert spark.read.parquet(f"{out}/pii_ratio").count() == 1
+    hist = spark.read.parquet(f"{out}/entity_histogram")
+    assert sum(r["n_rows"] for r in hist.collect()) == 500
