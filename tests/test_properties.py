@@ -90,3 +90,22 @@ def test_batch_equals_single_for_quality_and_langid(texts):
         assert abs(bpc_b[i] - bpc_s[0]) < 1e-9
         assert langs_b[i] == langs_s[0]
         assert abs(confs_b[i] - confs_s[0]) < 1e-9
+
+
+@given(_text, st.sampled_from([0.0, 0.6, 0.7, 0.85, 0.95, 1.0]))
+@settings(max_examples=150, deadline=None)
+def test_confidence_threshold_monotone(text, thr):
+    """Raising the threshold can only remove spans (the reference's
+    precision/recall dial): every span detected at `thr` also appears at
+    the default 0.5, and no surviving span scores below `thr`."""
+    hi = detect_spans(text, confidence_threshold=thr)
+    lo = detect_spans(text, confidence_threshold=0.0)
+    assert all(c >= thr for _s, _e, _t, c in hi)
+    # spans surviving the high threshold are, span-for-span, a subset of
+    # the candidates the permissive run considered (same bank ordering) —
+    # check via position containment in the permissive candidate set
+    lo_keys = {(s, e, t) for s, e, t, _c in lo}
+    for s, e, t, _c in hi:
+        assert (s, e, t) in lo_keys or any(
+            ls <= s and e <= le for ls, le, _lt, _lc in lo
+        )
