@@ -323,6 +323,35 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (gap-merged event-time
+    sessions — the same construct Structured Streaming uses for stateful
+    session aggregation), vs q_events_sessions' lag+cumsum formulation.
+    A session's end is last_event + gap; the oracle reproduces that with
+    the cumsum trick."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def q_part_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """part + supplier joins (the two remaining testdata tables): revenue by
     part brand and supplier nation, dims broadcast."""
@@ -847,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_gaps": q_events_user_gaps,
         "events_running_total": q_events_running_total,
         "events_sessions": q_events_sessions,
+        "events_session_windows": q_events_session_windows,
         "part_supplier_revenue": q_part_supplier_revenue,
         "doc_lang_stats": q_doc_lang_stats,
         "doc_token_stats": q_doc_token_stats,
@@ -1078,6 +1108,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_events), 4) AS avg_events_per_session,
                    ROUND(SUM(session_value), 2) AS total_value
             FROM per_session GROUP BY user_id
+        """,
+        "events_session_windows": """
+            WITH gaps AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id))
+                                > 1800
+                            OR LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_session,
+                       event_id
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS session_no
+                FROM gaps
+            )
+            SELECT user_id,
+                   STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   STRFTIME(MAX(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_no
         """,
         "part_supplier_revenue": """
             SELECT p_brand, n_name,
