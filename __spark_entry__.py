@@ -323,6 +323,41 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join — the classic custom operator Spark lacks as a builtin:
+    each 'click' matched to the user's most recent strictly-prior 'view'
+    (lexicographic (ts, event_id) order for determinism).
+
+    Spark-first formulation: NO join at all — a per-user running
+    ``last(view_ts, ignorenulls)`` over a rows-frame ending at the
+    previous row gives every event its prior view in one window pass
+    (shuffle keyed on user_id only).  The DuckDB oracle states the same
+    semantics declaratively with a LATERAL top-1 lookup per click."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_view_ts = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    clicks = ev.withColumn("prior_view_ts", prior_view_ts).where(
+        F.col("event_type") == "click"
+    )
+    gap = (
+        F.col("ts").cast("timestamp").cast("double")
+        - F.col("prior_view_ts").cast("timestamp").cast("double")
+    )
+    return clicks.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("prior_view_ts").isNotNull().cast("long")).alias(
+            "n_matched"
+        ),
+        F.round(F.avg(gap), 2).alias("avg_view_to_click_s"),
+    )
+
+
 def q_events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Spark's NATIVE session_window operator (gap-merged event-time
     sessions — the same construct Structured Streaming uses for stateful
@@ -876,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_gaps": q_events_user_gaps,
         "events_running_total": q_events_running_total,
         "events_sessions": q_events_sessions,
+        "events_asof_join": q_events_asof_join,
         "events_session_windows": q_events_session_windows,
         "part_supplier_revenue": q_part_supplier_revenue,
         "doc_lang_stats": q_doc_lang_stats,
@@ -1108,6 +1144,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_events), 4) AS avg_events_per_session,
                    ROUND(SUM(session_value), 2) AS total_value
             FROM per_session GROUP BY user_id
+        """,
+        "events_asof_join": """
+            SELECT c.user_id,
+                   COUNT(*) AS n_clicks,
+                   CAST(SUM(CASE WHEN v.ts IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   ROUND(AVG(EPOCH(c.ts) - EPOCH(v.ts)), 2)
+                       AS avg_view_to_click_s
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN LATERAL (
+                SELECT ts FROM events v
+                WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                  AND (v.ts < c.ts
+                       OR (v.ts = c.ts AND v.event_id < c.event_id))
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v ON true
+            GROUP BY c.user_id
         """,
         "events_session_windows": """
             WITH gaps AS (
