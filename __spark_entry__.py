@@ -696,7 +696,14 @@ NEARDUP_ALLPAIRS_MAX = 20_000
 
 
 def _embedding_neardup_allpairs(emb: DataFrame) -> DataFrame:
-    """Oracle form (exact, O(n²)) — only ever run under the row-count guard."""
+    """Oracle form (exact, O(n²)) — only ever run under the row-count guard.
+
+    Zero-norm vectors (no defined cosine) are excluded up front — the same
+    exclusion ``mean_pairwise_cosine`` applies on the scale path, so
+    ``n_pairs``/``avg_cosine`` agree on both sides of the adaptive guard
+    instead of the all-pairs side poisoning its average with NaNs.  The
+    oracle SQL applies the identical ``list_dot_product(e, e) > 0`` filter.
+    """
 
     def dot(a, b):
         return F.aggregate(
@@ -705,6 +712,14 @@ def _embedding_neardup_allpairs(emb: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    emb = emb.where(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -1373,6 +1388,9 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY lang
         """,
         "embedding_neardup_pairs": """
+            -- zero-norm vectors have no defined cosine and are excluded on
+            -- BOTH engine paths (all-pairs guard form and the closed-form
+            -- scale path), so the oracle applies the same filter
             SELECT CAST(SUM(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_neardup,
                    COUNT(*) AS n_pairs,
@@ -1380,7 +1398,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT LIST_COSINE_SIMILARITY(a.embedding, b.embedding)
                            AS cosine
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                FROM (SELECT * FROM embeddings
+                      WHERE LIST_DOT_PRODUCT(embedding, embedding) > 0) a
+                JOIN (SELECT * FROM embeddings
+                      WHERE LIST_DOT_PRODUCT(embedding, embedding) > 0) b
+                  ON a.vec_id < b.vec_id
             )
         """,
         "embedding_topk": """

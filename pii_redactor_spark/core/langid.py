@@ -36,19 +36,6 @@ _MARKERS = {
     "de": "ßäöü",
 }
 
-_STOPWORD_RE = {
-    lang: re.compile(
-        r"(?<![\w])(?:%s)(?![\w])" % "|".join(words), re.IGNORECASE
-    )
-    for lang, words in _STOPWORDS.items()
-}
-_MARKER_RE = {
-    lang: re.compile("[%s%s]" % (chars, chars.upper()))
-    for lang, chars in _MARKERS.items()
-    if chars
-}
-
-
 # Vectorization note: `(?<![\w])(?:stopwords)(?![\w])` can only ever match a
 # complete maximal \w-run (stopwords are all word chars, so any partial-run
 # match fails a lookaround), and at most once per run — so the per-language
@@ -72,7 +59,29 @@ for _j, _lang in enumerate(_LATIN_LANGS, start=1):
         if len(_up) == 1:
             _MARKER_CODES[ord(_up)] = _j
 _HE_LO, _HE_HI = ord("א"), ord("ת")
-_SRE_FOLD = str.maketrans({"İ": "i", "ı": "i", "ſ": "s"})
+# sre's IGNORECASE equivalence classes that go beyond upper/lower pairs, for
+# the codepoints a Latin stopword could contain.  Alias -> base; applied
+# before .lower() so token membership matches what a
+# `(?<![\w])(?:stopwords)(?![\w])` IGNORECASE scan would accept (the
+# reference form is rebuilt and differentially checked in
+# tests/test_core.py).  İ is special separately: str.lower('İ') is two
+# codepoints ('i' + combining dot), so it must fold BEFORE lowering.
+_SRE_FOLD = str.maketrans(
+    {"İ": "i", "ı": "i", "ſ": "s", "K": "k", "Å": "å"}
+)
+# Import-time guard: every stopword codepoint whose sre IGNORECASE
+# equivalence class is bigger than {ch, ch.upper(), ch.lower()} must have
+# its aliases in _SRE_FOLD, or vectorized membership silently diverges from
+# the regex semantics.  Bases of CPython sre_compile's Latin-relevant
+# extra-equivalence classes:
+_SRE_SPECIAL_BASES = {"i": "ıİ", "s": "ſ", "k": "K", "å": "Å"}
+_FOLDED = {chr(k) for k in _SRE_FOLD}
+for _w in (w for ws in _STOPWORDS.values() for w in ws):
+    for _ch in _w:
+        for _alias in _SRE_SPECIAL_BASES.get(_ch, ""):
+            assert _alias in _FOLDED, (
+                f"stopword char {_ch!r} has unhandled sre alias {_alias!r}"
+            )
 
 
 def classify_batch(

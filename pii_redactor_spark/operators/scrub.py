@@ -195,9 +195,42 @@ def with_scrub(
 # Partition-count probe cache: file count is a wrong proxy in both
 # directions (64 tiny files pack into ~2 partitions; one huge splittable
 # file yields many), so the truthful probe stays rdd.getNumPartitions() —
-# but its RDD conversion is paid once per distinct input file set, not per
-# call.
+# but its RDD conversion is paid once per distinct input, not per call.
+# The key carries everything the split computation depends on: the file
+# list, each file's (size, mtime) — so a table overwritten in place under
+# the same names re-probes — and the session confs that change packing
+# (maxPartitionBytes / openCostInBytes / defaultParallelism).  Inputs whose
+# files can't be stat'ed (non-local URIs) are simply not cached.
 _NPART_CACHE: dict[tuple, int] = {}
+_NPART_STAT_MAX_FILES = 64
+
+
+def _npart_cache_key(df: DataFrame, target: int) -> tuple | None:
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files or len(files) > _NPART_STAT_MAX_FILES:
+        return None
+    import os
+
+    stats = []
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        stats.append((st.st_size, st.st_mtime_ns))
+    conf = df.sparkSession.conf
+    return (
+        tuple(files),
+        tuple(stats),
+        target,
+        conf.get("spark.sql.files.maxPartitionBytes", "0"),
+        conf.get("spark.sql.files.openCostInBytes", "0"),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
 
 
 def parallelize_for_udf(df: DataFrame, min_factor: int = 2) -> DataFrame:
@@ -208,13 +241,7 @@ def parallelize_for_udf(df: DataFrame, min_factor: int = 2) -> DataFrame:
     serialize the whole UDF stage — one round-robin repartition (cheap: the
     table is small precisely when this fires) restores parallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    key = None
-    try:
-        files = df.inputFiles()
-        if files:
-            key = (tuple(sorted(files)), target)
-    except Exception:
-        pass
+    key = _npart_cache_key(df, target)
     n = _NPART_CACHE.get(key) if key else None
     if n is None:
         n = df.rdd.getNumPartitions()

@@ -69,13 +69,25 @@ def todo_prefixes(
         todo = [p for p in all_p if p not in done]
         return todo, len(all_p) - len(todo)
     done_df = spark.createDataFrame(
-        [(int(p),) for p in sorted(done)], "phash_prefix int"
+        [(int(p), 1) for p in sorted(done)], "phash_prefix int, _done int"
     )
-    todo_df = distinct.join(
-        F.broadcast(done_df), "phash_prefix", "left_anti"
+    # One job over the input: broadcast left join, then a single aggregation
+    # producing BOTH the remaining-prefix list (bounded by remaining work,
+    # like the left-anti collect) and the committed-intersection count — no
+    # second distinct scan just for the n_skipped counter.
+    row = (
+        distinct.join(F.broadcast(done_df), "phash_prefix", "left")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_done").isNull(), F.col("phash_prefix"))
+                )
+            ).alias("todo"),
+            F.count("_done").alias("n_skipped"),
+        )
+        .collect()[0]
     )
-    todo = sorted(r[0] for r in todo_df.collect())
-    return todo, distinct.count() - len(todo)
+    return list(row["todo"]), int(row["n_skipped"])
 
 
 def scrub_images(

@@ -263,3 +263,76 @@ def test_preserve_format_false_single_token():
     # typed masks unaffected by replacement when preserve_format=True
     r4 = scrub_text(text, replacement="<PII>")
     assert r4.scrubbed == "My name is [NAME_REDACTED] and my ID number is [ID_REDACTED]"
+
+
+def test_langid_vectorized_matches_reference_regex_form():
+    """Differential check of the vectorized langid against the regex
+    reference form it replaced (kept here, not in langid.py, so the two
+    cannot share code): per-language IGNORECASE stopword scans + marker
+    char classes (per-char upper — the corrected form; `'ß'.upper()`
+    would wrongly register 'SS').  The corpus includes sre's extra
+    IGNORECASE equivalences (ı/İ/ſ/KELVIN/ANGSTROM) that plain
+    str.lower() does not produce."""
+    import re as _re
+
+    import numpy as np
+
+    from pii_redactor_spark.core.langid import (
+        LANGS,
+        _MARKERS,
+        _STOPWORDS,
+        classify_batch,
+    )
+
+    stop_re = {
+        lang: _re.compile(
+            r"(?<![\w])(?:%s)(?![\w])" % "|".join(words), _re.IGNORECASE
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    marker_re = {
+        lang: _re.compile(
+            "[%s]" % "".join(
+                c + (c.upper() if len(c.upper()) == 1 else "") for c in chars
+            )
+        )
+        for lang, chars in _MARKERS.items()
+        if chars
+    }
+    hebrew_re = _re.compile(r"[א-ת]")
+
+    def reference(text):
+        scores = np.zeros(len(LANGS))
+        scores[0] = 3.0 * len(hebrew_re.findall(text))
+        for j, lang in enumerate(LANGS[1:], start=1):
+            scores[j] = 2.0 * len(stop_re[lang].findall(text))
+            if lang in marker_re:
+                scores[j] += 1.5 * len(marker_re[lang].findall(text))
+        total = scores.sum()
+        if total == 0:
+            return "und", 0.0
+        best = int(scores.argmax())
+        return LANGS[best], scores[best] / (total + 1e-9)
+
+    corpus = [
+        "My name is John and I was born at the clinic",
+        "El número de correo es mucho para los niños",
+        "Je suis à l'adresse avec mon numéro",
+        "Ich bin auf der Straße und arbeite gerne mit ß",
+        "שלום זה טקסט בעברית עם קצת English",
+        "THE CAT IS ON THE MAT",                      # uppercase stopwords
+        "ıs this turkish dotless i or İstanbul IS",   # sre i-equivalences
+        "ſtopword teſt: thıſ iſ ſtrange",             # long s
+        "temperature in Kelvin and Ångstrom units",  # K/Å signs
+        "Straße ÄÖÜ äöü ß ss SS",                      # German markers
+        "¿Qué? ¡Sí! ñoño Ñ",                           # Spanish markers
+        "çà èê âî ôû Ç À",                             # French markers
+        "",                                            # empty
+        "12345 67890 !!!",                             # no letters -> und
+        "mıx of ı and i ın one lıne is it",
+    ]
+    langs, confs = classify_batch(corpus)
+    for text, got_lang, got_conf in zip(corpus, langs, confs):
+        want_lang, want_conf = reference(text)
+        assert got_lang == want_lang, (text, got_lang, want_lang)
+        assert abs(got_conf - want_conf) < 1e-9, (text, got_conf, want_conf)
