@@ -587,6 +587,23 @@ def q_doc_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Below this eligible-doc count the inverted index runs uncapped (exact at
+# every pair — the oracle form); above it, shingles with document frequency
+# over SPARSE_JACCARD_MAX_DF are prefix-filtered out of the index so no join
+# key carries more than max_df·(max_df−1)/2 candidate rows (the hot-shingle
+# skew cap; emitted pairs stay exact, recall drops only for pairs sharing
+# nothing but boilerplate shingles).  Same adaptive pattern as
+# NEARDUP_ALLPAIRS_MAX; plan/bound pinned by tests/test_skew.py.
+SPARSE_JACCARD_EXACT_MAX = 100_000
+SPARSE_JACCARD_MAX_DF = 1_000
+
+
+def _sparse_jaccard_max_df(eligible: DataFrame) -> int | None:
+    if eligible.count() <= SPARSE_JACCARD_EXACT_MAX:
+        return None
+    return SPARSE_JACCARD_MAX_DF
+
+
 def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard pair statistics WITHOUT an all-pairs join.
 
@@ -596,14 +613,17 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     and the all-pairs totals fall out in closed form — disjoint pairs have
     Jaccard 0, so ``sum over sharing pairs == sum over all pairs`` and
     ``n_pairs = n·(n−1)/2``.  Same answer as the DuckDB all-pairs oracle at
-    every scale; no Cartesian/theta join in the plan (pinned by
-    tests/test_plans.py).
+    oracle scale (uncapped under SPARSE_JACCARD_EXACT_MAX); beyond the
+    guard the hot-shingle prefix filter kicks in.  No Cartesian/theta join
+    in the plan (pinned by tests/test_plans.py).
     """
     from pii_redactor_spark.operators.dedup import sparse_jaccard_pairs
 
     docs = _t(spark, sf, "documents")
     eligible = docs.where(F.size(F.split("text", " ")) >= 3)
-    pairs = sparse_jaccard_pairs(eligible, "doc_id", "text", k=3)
+    pairs = sparse_jaccard_pairs(
+        eligible, "doc_id", "text", k=3, max_df=_sparse_jaccard_max_df(eligible)
+    )
     stats = pairs.agg(
         F.coalesce(
             F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
@@ -634,7 +654,10 @@ def q_doc_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     eligible = docs.where(F.size(F.split("text", " ")) >= 3)
     edges = (
-        sparse_jaccard_pairs(eligible, "doc_id", "text", k=3)
+        sparse_jaccard_pairs(
+            eligible, "doc_id", "text", k=3,
+            max_df=_sparse_jaccard_max_df(eligible),
+        )
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     )

@@ -182,6 +182,7 @@ def sparse_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard for every pair sharing >= 1 shingle — no theta join.
 
@@ -194,16 +195,49 @@ def sparse_jaccard_pairs(
 
     Scale shape: the only shuffles are keyed on the shingle (join) and the
     pair (agg) — cost is driven by the inverted-index collision count, not
-    n².  Hot shingles (stop-phrases) are the skew risk; AQE skew-join
-    handles moderate cases, and a production run would add a
-    document-frequency cap on indexed shingles (prefix filtering) before
-    the join.
+    n².  Hot shingles (stop-phrases, boilerplate) are the skew risk: one
+    shingle shared by ``m`` docs contributes ``m·(m−1)/2`` join rows on a
+    single key, which AQE can only split, not shrink.
+
+    ``max_df`` is the prefix-filtering cap for that: shingles whose
+    document frequency exceeds ``max_df`` are dropped from the index
+    BEFORE the self-join, so no join key ever carries more than
+    ``max_df·(max_df−1)/2`` candidate rows.  Candidate pairs then come
+    from the rare shingles only, and every candidate is re-scored with
+    exact set Jaccard over the full (uncapped) shingle arrays — emitted
+    pairs are always exact.  The only loss is recall on pairs that share
+    *nothing but* hot shingles; for near-dup detection those are
+    boilerplate collisions, the pairs the cap exists to suppress.
+    ``max_df=None`` keeps the uncapped exact-at-every-pair form (the
+    contract-query oracle shape, guarded by row count at the call site —
+    see ``__spark_entry__.SPARSE_JACCARD_EXACT_MAX``).
     """
     sh = with_shingles(df, text_col, k).select(
         F.col(id_col).alias("_id"),
         F.size("shingles").alias("_size"),
         F.explode("shingles").alias("shingle"),
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        capped = sh.join(rare, "shingle", "left_semi")
+        a, b = capped.alias("a"), capped.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .distinct()
+        )
+        return exact_jaccard(candidates, df, id_col, text_col, k)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
