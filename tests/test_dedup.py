@@ -150,3 +150,51 @@ def test_neardup_clusters_and_dedupe_near(spark, corpus):
     assert "d000" in ids
     assert not (base_cluster - {"d000"}) & ids
     assert ids >= {r["doc_id"] for r in corpus.select("doc_id").collect()} - base_cluster
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 10k-vertex path graph: plain min-label propagation needs ~10k
+    rounds (and previously RAISED at max_iter); pointer jumping must
+    converge in O(log n) rounds and label every vertex with the chain
+    min."""
+    from pii_redactor_spark.operators.dedup import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr(
+        "id AS id_a", "id + 1 AS id_b"
+    )
+    labels = connected_components(edges, id_col="doc_id", max_iter=32)
+    agg = labels.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("m"),
+    ).collect()[0]
+    assert agg["n"] == n
+    assert agg["k"] == 1
+    assert agg["m"] == 0
+
+
+def test_connected_components_multi_component_correctness(spark):
+    """Mixed shapes in one edge list: a 500-vertex path, a star, a
+    triangle, and an isolated edge — every vertex must get its component's
+    min id."""
+    from pii_redactor_spark.operators.dedup import connected_components
+
+    path = [(i, i + 1) for i in range(1000, 1500)]
+    star = [(2000, x) for x in range(2001, 2020)]
+    tri = [(3000, 3001), (3001, 3002), (3002, 3000)]
+    lone = [(4000, 4001)]
+    edges = spark.createDataFrame(
+        path + star + tri + lone, "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iter=32).collect()
+    }
+    for v in range(1000, 1501):
+        assert got[v] == 1000
+    for v in range(2000, 2020):
+        assert got[v] == 2000
+    for v in (3000, 3001, 3002):
+        assert got[v] == 3000
+    assert got[4000] == got[4001] == 4000
