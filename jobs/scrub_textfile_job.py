@@ -7,7 +7,8 @@ The reference's ``BatchProcessor.process_file``
         --py-files dist/pii_redactor_spark.zip \
         jobs/scrub_textfile_job.py --input in.txt --output out_dir \
         [--replacement TOKEN] [--no-preserve-format] [--unordered] \
-        [--confidence-threshold 0.5]
+        [--confidence-threshold 0.5] [--encoding latin-1] \
+        [--output-files N] [--drop-blank-lines]
 """
 
 from __future__ import annotations
@@ -23,6 +24,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-preserve-format", action="store_true")
     p.add_argument("--unordered", action="store_true")
     p.add_argument("--confidence-threshold", type=float, default=0.5)
+    p.add_argument("--encoding", default="UTF-8")
+    p.add_argument("--output-files", type=int, default=None)
+    p.add_argument("--drop-blank-lines", action="store_true")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -42,7 +46,9 @@ def main(argv: list[str] | None = None) -> None:
         preserve_format=not args.no_preserve_format,
     )
     scrub_text_file(
-        spark, args.input, args.output, cfg, ordered=not args.unordered
+        spark, args.input, args.output, cfg, ordered=not args.unordered,
+        encoding=args.encoding, output_files=args.output_files,
+        blank_lines="drop" if args.drop_blank_lines else "error",
     )
     spark.stop()
 

@@ -4,18 +4,47 @@ Reproduces ``BatchProcessor.process_file``
 (``/root/reference/src/inference.py:512-539``): read a text file, strip
 each line, redact it, write the redacted lines back out.  The reference
 loops line-by-line on one machine; here the same surface is
-``spark.read.text -> one Arrow-vectorized redact UDF -> write.text``.
+``spark.read -> one Arrow-vectorized redact UDF -> write.text``.
 
 Unlike the full scrub stage, ``process_file`` only *redacts* — no
 quality filtering, every line is emitted (inference.py:530-533) — so the
 line UDF runs just detect -> classify -> splice.
 
-Ordering: the reference preserves file line order.  ``ordered=True``
-(default, parity mode) restores it by sorting on the read-order id and
-writing a single part file — correct for the reference's single-file use
-case.  At 100 TB a caller passes ``ordered=False``: the write stays fully
-parallel and line order across part files is not meaningful (the usual
-contract for distributed text corpora).
+Encoding: ``process_file(encoding=...)`` (inference.py:512) is honored on
+both sides.  UTF-8 uses the native text source/sink.  Any other charset
+goes through the CSV source/sink configured as a pure line reader/writer
+(single ``value`` column, quoting disabled, a control-char separator) —
+the only built-in path that decodes/encodes a caller charset (the text
+source silently ignores ``encoding`` on read AND write; verified
+empirically on this Spark).  Two measured CSV-path limits, made explicit
+instead of silent: (1) a payload line containing the \\x01 separator
+byte would split — real text in a legacy charset does not contain it;
+(2) univocity skips fully-empty rows on BOTH read and write, so blank
+lines cannot round-trip through a non-UTF-8 file.  ``blank_lines``
+controls that case: ``"error"`` (default) pre-scans the input JVM-side
+and raises before any work if a blank/whitespace-only line exists;
+``"drop"`` opts into omitting them (the usual distributed-corpus
+contract).  UTF-8 mode preserves blank lines exactly.
+
+Ordering (``ordered=True``, the parity mode): output lines are globally
+ordered by ``(input file name, read-order id)`` and written through a
+RANGE-partitioned sink — partition ``i`` of ``repartitionByRange`` holds
+an ascending key range and becomes part file ``part-0000i``, so
+concatenating the part files in name order reproduces the input order
+byte-for-byte while the write itself stays fully parallel (the round-2
+``coalesce(1)`` single-task sink is gone).
+
+The per-file order guarantee rests on how Spark packs read splits: all
+non-tail splits of a file are exactly ``maxPartitionBytes`` and the
+planner's sort-by-length-descending is stable (TimSort), so within one
+file splits keep offset order (equal lengths preserve listing order; the
+smaller tail sorts after).  ``monotonically_increasing_id`` is monotone
+within each split, hence ``(file, id)`` is monotone in file offset.
+Across MULTIPLE input files (a glob), "input order" is defined as files
+in lexicographic name order — callers needing listing order should pass
+files individually.  At 100 TB a caller passes ``ordered=False``: no
+range shuffle at all, and line order across part files is not meaningful
+(the usual contract for distributed text corpora).
 """
 
 from __future__ import annotations
@@ -32,6 +61,51 @@ from ..core.classify import classify_entity
 from ..core.detect import detect_spans
 from ..core.redact import redact_typed
 from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig
+
+
+def _is_utf8(encoding: str) -> bool:
+    return encoding.replace("-", "").replace("_", "").upper() == "UTF8"
+
+
+def read_text_lines(
+    spark: SparkSession, input_path: str, encoding: str = "UTF-8"
+) -> DataFrame:
+    """One ``value`` row per input line, decoded with ``encoding``.
+
+    UTF-8 -> native text source.  Other charsets -> the CSV reader as a
+    line reader (explicit one-column schema, quoting off, \\x01 sep):
+    the CSV read path decodes ``encoding``; the text source silently
+    ignores it on read (UTF-8 only).  Both paths split large files.
+    """
+    if _is_utf8(encoding):
+        return spark.read.text(input_path)
+    return (
+        spark.read.format("csv")
+        .option("encoding", encoding)
+        .option("sep", "\x01")
+        .option("quote", "")
+        .option("header", False)
+        .schema("value string")
+        .load(input_path)
+        # whitespace-only lines survive as-is; FULLY empty lines are
+        # skipped by univocity (see module docstring / blank_lines)
+        .na.fill({"value": ""})
+    )
+
+
+# python str.strip() whitespace beyond Java's ASCII \s: Unicode separators
+# (Zs/Zl/Zp), NEL, and the information-separator control block.
+_BLANK_RE = r"^[\s\p{Z}\x85\x1C-\x1F]*$"
+
+
+def _raw_has_blank_line(spark: SparkSession, input_path: str) -> bool:
+    """Fully-empty lines are invisible after the CSV reader skips them, so
+    probe the raw byte stream with the text source: newline framing is
+    ASCII-compatible for every single-byte and UTF-8-family charset, so an
+    empty raw line is an empty logical line regardless of how the payload
+    bytes decode.  (UTF-16/32 corpora fall outside this probe.)"""
+    raw = spark.read.text(input_path)
+    return bool(raw.where(F.length("value") == 0).limit(1).count())
 
 
 def redact_lines(texts: list[str], cfg: ScrubConfig = DEFAULT_SCRUB) -> list[str]:
@@ -62,20 +136,64 @@ def scrub_text_file(
     output_path: str,
     cfg: ScrubConfig = DEFAULT_SCRUB,
     ordered: bool = True,
+    encoding: str = "UTF-8",
+    output_files: int | None = None,
+    blank_lines: str = "error",
 ) -> DataFrame:
-    """Read ``input_path`` (newline-delimited), redact, write ``output_path``
-    (a Spark text output directory).  Returns the written DataFrame."""
-    lines = spark.read.text(input_path)
+    """Read ``input_path`` (newline-delimited, ``encoding``), redact, write
+    ``output_path`` (a Spark text output directory, same ``encoding``).
+
+    ``ordered=True``: part files concatenated in name order are byte-equal
+    to redacting the input in order (see module docstring for the
+    multi-file contract); the write is range-partitioned across
+    ``output_files`` (default: the session's default parallelism) part
+    files, not a single task.  ``blank_lines`` applies to non-UTF-8
+    encodings only (module docstring).  Returns the written DataFrame.
+    """
+    lines = read_text_lines(spark, input_path, encoding)
+    if not _is_utf8(encoding) and blank_lines == "error":
+        # the CSV path cannot represent blank lines (module docstring);
+        # fail loudly up front instead of silently dropping them.  The
+        # reader already skipped fully-empty lines, so probing the decoded
+        # lines for whitespace-only content catches both loss modes.
+        if lines.where(
+            F.col("value").rlike(_BLANK_RE)
+        ).limit(1).count() or _raw_has_blank_line(spark, input_path):
+            raise ValueError(
+                "input contains blank/whitespace-only lines, which cannot "
+                "round-trip through a non-UTF-8 text sink (the CSV "
+                "charset path skips empty rows); pass blank_lines='drop' "
+                "to omit them, or re-encode the input as UTF-8"
+            )
     redact = make_redact_line_udf(cfg)
     red = lines.select(
+        F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_line"),
         redact(F.col("value")).alias("value"),
     )
     if ordered:
-        # read.text partitions follow file offsets and the monotonic id is
-        # ordered across them, so this restores exact input line order.
-        out = red.orderBy("_line").select("value").coalesce(1)
+        n_out = output_files or spark.sparkContext.defaultParallelism
+        out = (
+            red.repartitionByRange(n_out, "_file", "_line")
+            .sortWithinPartitions("_file", "_line")
+            .select("value")
+        )
     else:
         out = red.select("value")
-    out.write.mode("overwrite").text(output_path)
+    if _is_utf8(encoding):
+        out.write.mode("overwrite").text(output_path)
+    else:
+        # the text sink ignores `encoding` (UTF-8 only); the CSV sink is
+        # the built-in writer that honors a target charset — same
+        # single-column line-writer configuration as the reader.  Empty
+        # redacted lines are skipped by univocity (guarded above).
+        (
+            out.write.mode("overwrite")
+            .format("csv")
+            .option("encoding", encoding)
+            .option("sep", "\x01")
+            .option("quote", "")
+            .option("escape", "")
+            .save(output_path)
+        )
     return out
