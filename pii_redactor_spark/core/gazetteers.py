@@ -97,14 +97,31 @@ def _alt(words: list[str]) -> str:
     return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
 
 
+# --- Detection-only vocabulary extensions -----------------------------------
+# The reference's notebook corpus (nootebook_test.ipynb cells 3-6) uses names
+# and streets outside the dataset_creation.py vocabulary.  These extras feed
+# the DETECTION patterns only — they are deliberately NOT appended to the
+# generator lists above, so seeded fixture values and the trigram-LM training
+# corpus are byte-stable across this addition.
+HE_FIRST_NAMES_DETECT_EXTRA = ["יוסי"]          # nootebook_test.ipynb cell 5
+HE_STREETS_DETECT_EXTRA = ["ירושלים"]           # "רחוב ירושלים 10, תל אביב"
+LATIN_FIRST_DETECT_EXTRA = ["Evelyn", "Moshe"]  # cells 3 and 6
+LATIN_LAST_DETECT_EXTRA = ["Hartley", "Cohen"]
+
+
 # --- Compiled gazetteer detection patterns ----------------------------------
 # Hebrew full name: "<first> <surname>" where surname may be two words.
 HE_NAME_PATTERN = re.compile(
-    r"(?:%s) (?:%s)" % (_alt(HE_FIRST_NAMES), _alt(HE_SURNAMES))
+    r"(?:%s) (?:%s)" % (
+        _alt(HE_FIRST_NAMES + HE_FIRST_NAMES_DETECT_EXTRA),
+        _alt(HE_SURNAMES),
+    )
 )
 # Hebrew address: "<street> <1-150>, <city>" (dataset_creation.py:114-119).
 HE_ADDRESS_PATTERN = re.compile(
-    r"(?:%s) \d{1,3}, (?:%s)" % (_alt(HE_STREETS), _alt(HE_CITIES))
+    r"(?:%s) \d{1,3}, (?:%s)" % (
+        _alt(HE_STREETS + HE_STREETS_DETECT_EXTRA), _alt(HE_CITIES)
+    )
 )
 
 _ALL_LATIN_FIRST = [n for lang in LATIN_NAMES.values() for n in lang["first"]]
@@ -113,7 +130,10 @@ _ALL_LATIN_STREETS = [s for lang in LATIN_NAMES.values() for s in lang["streets"
 _ALL_LATIN_CITIES = [c for lang in LATIN_NAMES.values() for c in lang["cities"]]
 
 LATIN_NAME_PATTERN = re.compile(
-    r"\b(?:%s) (?:%s)\b" % (_alt(_ALL_LATIN_FIRST), _alt(_ALL_LATIN_LAST))
+    r"\b(?:%s) (?:%s)\b" % (
+        _alt(_ALL_LATIN_FIRST + LATIN_FIRST_DETECT_EXTRA),
+        _alt(_ALL_LATIN_LAST + LATIN_LAST_DETECT_EXTRA),
+    )
 )
 # Latin address: "<number> <street>, <city>" (en) or "<street> <number>, <city>".
 LATIN_ADDRESS_PATTERN = re.compile(

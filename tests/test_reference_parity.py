@@ -148,3 +148,95 @@ def test_every_email_and_every_negative():
     for text, expected, has_pii in CASES:
         if not has_pii:
             assert scrub_text(text).scrubbed == text
+
+
+# --- Notebook corpus (nootebook_test.ipynb cells 3-6) -----------------------
+# The reference's hardest prose cases: a story paragraph, an English
+# contact blurb, a Hebrew medical record, and names-in-prose.  Multi-line
+# texts, pinned separately from the line-oriented CASES corpus.
+NOTEBOOK_CASES = [
+    (
+        # cell 3 — story prose with curly quotes; the rules engine must
+        # redact the protagonist and leave the business name alone
+        "\nEvelyn Hartley had always dreamed of opening her own bakery, "
+        "but she never imagined “Evy’s Breads & Bites”\n "
+        "would become the neighborhood’s Saturday-morning ritual;\n",
+        "\n[NAME_REDACTED] had always dreamed of opening her own bakery, "
+        "but she never imagined “Evy’s Breads & Bites”\n "
+        "would become the neighborhood’s Saturday-morning ritual;\n",
+        True,
+    ),
+    (
+        # cell 4 — contact blurb; URL must survive, phone/email/name go
+        "\nMy name is John Doe and my email is john@example.com\n"
+        "You can reach me at (123) 456-7890 or visit my website at "
+        "https://www.johndoe.com.\n"
+        "I love programming in Python and my favorite library is NumPy.\n",
+        "\nMy name is [NAME_REDACTED] and my email is [EMAIL_REDACTED]\n"
+        "You can reach me at [REDACTED] or visit my website at "
+        "https://www.johndoe.com.\n"
+        "I love programming in Python and my favorite library is NumPy.\n",
+        True,
+    ),
+    (
+        # cell 5 — Hebrew medical record: name, DOB, phone, address, ID all
+        # redacted; the prose notes (including a bare first name) survive
+        "\nשם חולה: יוסי כהן\n"
+        "תאריך לידה: 01/01/1980\n"
+        "מספר טלפון: 050-1234567\n"
+        "כתובת: רחוב ירושלים 10, תל אביב\n"
+        "תעודת זהות: 123456789\n"
+        "הערות: יוסי סובל מאלרגיות למזון מסוים.  \n"
+        "יש להימנע ממתן מזון המכיל אגוזים.\n",
+        "\nשם חולה: [NAME_REDACTED]\n"
+        "תאריך לידה: [REDACTED]\n"
+        "מספר טלפון: [REDACTED]\n"
+        "כתובת: רחוב [REDACTED]\n"
+        "תעודת זהות: [ID_REDACTED]\n"
+        "הערות: יוסי סובל מאלרגיות למזון מסוים.  \n"
+        "יש להימנע ממתן מזון המכיל אגוזים.\n",
+        True,
+    ),
+    (
+        # cell 6 — names in casual prose: "Moshe cohen" (lowercase
+        # surname), bare "David", "Tel aviv".  The gazetteer pair matcher
+        # deliberately does not fire on these (precision choice of the
+        # rules engine vs the reference's NER model); pinned as a
+        # conscious no-op so any future gazetteer change here is explicit.
+        "\nMoshe cohen went to buy some groceries.\n"
+        "He bought apples, oranges, and bananas.\n"
+        "His friend David joined him later.\n"
+        "They discussed their plans for the weekend.\n"
+        "Moshe's favorite fruit is mango, but he couldn't find any.\n"
+        "David suggested trying the new fruit market in Tel aviv\n",
+        None,  # expected == input (no redaction)
+        False,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "text,expected,has_pii",
+    NOTEBOOK_CASES,
+    ids=["story", "contact", "hebrew-medical", "names-prose"],
+)
+def test_notebook_corpus_pinned(text, expected, has_pii):
+    r = scrub_text(text)
+    assert r.scrubbed == (expected if expected is not None else text)
+    assert r.has_pii == has_pii
+
+
+def test_notebook_entities():
+    """Entity-level pins for the two redacting notebook cases."""
+    story = scrub_text(NOTEBOOK_CASES[0][0])
+    assert [(e["entity_type"], e["text"]) for e in story.entities] == [
+        ("NAME", "Evelyn Hartley")
+    ]
+    med = scrub_text(NOTEBOOK_CASES[2][0])
+    assert [(e["entity_type"], e["text"]) for e in med.entities] == [
+        ("NAME", "יוסי כהן"),
+        ("DATE_OF_BIRTH", "01/01/1980"),
+        ("UNKNOWN", "050-1234567"),
+        ("UNKNOWN", "ירושלים 10, תל אביב"),
+        ("ID_NUMBER", "123456789"),
+    ]
