@@ -236,3 +236,60 @@ def test_ivf_partitioned_store_prunes_partitions(spark, emb, qvec, tmp_root):
     f = [(r["vec_id"], round(r["cosine"], 9)) for r in full.collect()]
     e = [(r["vec_id"], round(r["cosine"], 9)) for r in exact.collect()]
     assert f == e
+
+
+def test_ivf_recall_contract_trained_codebook(spark, emb, tmp_root):
+    """Recall@10 contract for the production ANN path: a kmeans-trained
+    codebook + partitioned store, recall measured against the exact
+    brute-force top-10 over a panel of query vectors.
+
+    Pins: (1) recall at nprobe=4 of 16 cells >= 0.55 (measured 0.60 on
+    the synthetic near-isotropic corpus — the hardest case for a coarse
+    quantizer; clustered real embeddings only do better); (2) recall is
+    monotone in nprobe; (3) full probe == exact (recall 1.0); (4) the
+    trained codebook beats the data-independent random codebook at the
+    same nprobe — the reason kmeans_fit exists."""
+    from pii_redactor_spark.operators.similarity import (
+        _ivf_centroids,
+        brute_force_topk,
+        ivf_topk_partitioned,
+        kmeans_fit,
+        write_ivf_partitioned,
+    )
+
+    qids = list(range(0, 20, 2))
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def recall_at_10(path, cents, nprobe):
+        total = 0.0
+        for qid, qv in qvecs.items():
+            exact = {
+                r["vec_id"]
+                for r in brute_force_topk(emb, qv, k=10).collect()
+            }
+            got = {
+                r["vec_id"]
+                for r in ivf_topk_partitioned(
+                    spark, path, qv, k=10, nprobe=nprobe, centroids=cents
+                ).collect()
+            }
+            total += len(exact & got) / 10
+        return total / len(qvecs)
+
+    trained = kmeans_fit(emb, n_cells=16, n_iter=10, dim=64, seed=7)
+    path_t = f"{tmp_root}/ivf_recall_trained"
+    write_ivf_partitioned(emb, path_t, centroids=trained)
+    r2 = recall_at_10(path_t, trained, 2)
+    r4 = recall_at_10(path_t, trained, 4)
+    r16 = recall_at_10(path_t, trained, 16)
+    assert r4 >= 0.55, r4            # the nprobe=4 contract
+    assert r2 <= r4 <= r16           # monotone in nprobe
+    assert r16 == 1.0                # full probe degrades to exact
+
+    rand = _ivf_centroids(64, 16, 7)
+    path_r = f"{tmp_root}/ivf_recall_random"
+    write_ivf_partitioned(emb, path_r, centroids=rand)
+    assert r4 > recall_at_10(path_r, rand, 4)  # training helps
