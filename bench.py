@@ -71,6 +71,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    by_length = _scrub_by_length_bucket(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -80,6 +81,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scrub_docs_per_sec": round(n_docs / timings["doc_scrub"], 1),
+        "scrub_by_length": by_length,
         "cpus": CPUS,
     }
     prev = _previous_round_timings()
@@ -96,6 +98,52 @@ def main() -> None:
             )
     spark.stop()
     print(json.dumps(out))
+
+
+# Char-length bucket edges over the documents table (corpus spans ~44-580
+# chars at bench SFs); the reference benchmarks the same short/medium/long/
+# very_long shape per text (perf_test.py:204-233).
+LENGTH_BUCKETS = [
+    ("short", 0, 150),
+    ("medium", 150, 300),
+    ("long", 300, 450),
+    ("very_long", 450, None),
+]
+
+
+def _scrub_by_length_bucket(spark) -> dict[str, dict]:
+    """Scrub throughput by caption-length bucket — the reference's
+    benchmark_text_lengths analog (perf_test.py:204-233) and the skew
+    evidence the north rule asks for: docs/sec must degrade smoothly with
+    length, not cliff on the long tail."""
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.operators.scrub import (
+        parallelize_for_udf,
+        scrub_udf,
+    )
+
+    docs = parallelize_for_udf(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    )
+    out: dict[str, dict] = {}
+    for name, lo, hi in LENGTH_BUCKETS:
+        cond = F.length("text") >= lo
+        if hi is not None:
+            cond = cond & (F.length("text") < hi)
+        sub = docs.where(cond)
+        n = sub.count()
+        if not n:
+            continue
+        t0 = time.perf_counter()
+        force(sub.withColumn("_s", scrub_udf(F.col("text"))).select("_s.keep"))
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "n_docs": n,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1),
+        }
+    return out
 
 
 def _previous_round_timings() -> dict[str, float]:
