@@ -598,10 +598,13 @@ SPARSE_JACCARD_EXACT_MAX = 100_000
 SPARSE_JACCARD_MAX_DF = 1_000
 
 
-def _sparse_jaccard_max_df(eligible: DataFrame) -> int | None:
-    if eligible.count() <= SPARSE_JACCARD_EXACT_MAX:
-        return None
-    return SPARSE_JACCARD_MAX_DF
+def _sparse_jaccard_max_df(eligible: DataFrame) -> tuple[int | None, int]:
+    """(max_df for this table size, eligible-doc count).  The count is
+    returned so callers can reuse the guard's scan as an in-plan literal
+    instead of paying a second aggregation over the table."""
+    n = eligible.count()
+    return (None if n <= SPARSE_JACCARD_EXACT_MAX
+            else SPARSE_JACCARD_MAX_DF), n
 
 
 def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -621,18 +624,19 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     eligible = docs.where(F.size(F.split("text", " ")) >= 3)
-    pairs = sparse_jaccard_pairs(
-        eligible, "doc_id", "text", k=3, max_df=_sparse_jaccard_max_df(eligible)
-    )
+    max_df, n_docs = _sparse_jaccard_max_df(eligible)
+    pairs = sparse_jaccard_pairs(eligible, "doc_id", "text", k=3,
+                                 max_df=max_df)
     stats = pairs.agg(
         F.coalesce(
             F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
         ).alias("n_neardup_pairs"),
         F.coalesce(F.sum("jaccard"), F.lit(0.0)).alias("_sum_jaccard"),
     )
-    counts = eligible.agg(F.count("*").alias("_n_docs"))
-    all_pairs = (F.col("_n_docs") * (F.col("_n_docs") - 1) / 2).cast("long")
-    return stats.crossJoin(counts).select(
+    # the guard already counted the table; inject it as a literal instead
+    # of a second full aggregation in the plan
+    all_pairs = F.lit(n_docs * (n_docs - 1) // 2).cast("long")
+    return stats.select(
         "n_neardup_pairs",
         all_pairs.alias("n_pairs"),
         F.round(F.col("_sum_jaccard") / all_pairs, 4).alias("avg_jaccard"),
@@ -656,7 +660,7 @@ def q_doc_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         sparse_jaccard_pairs(
             eligible, "doc_id", "text", k=3,
-            max_df=_sparse_jaccard_max_df(eligible),
+            max_df=_sparse_jaccard_max_df(eligible)[0],
         )
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")

@@ -199,15 +199,24 @@ def sparse_jaccard_pairs(
     shingle shared by ``m`` docs contributes ``m·(m−1)/2`` join rows on a
     single key, which AQE can only split, not shrink.
 
-    ``max_df`` is the prefix-filtering cap for that: shingles whose
-    document frequency exceeds ``max_df`` are dropped from the index
-    BEFORE the self-join, so no join key ever carries more than
-    ``max_df·(max_df−1)/2`` candidate rows.  Candidate pairs then come
-    from the rare shingles only, and every candidate is re-scored with
-    exact set Jaccard over the full (uncapped) shingle arrays — emitted
-    pairs are always exact.  The only loss is recall on pairs that share
-    *nothing but* hot shingles; for near-dup detection those are
-    boilerplate collisions, the pairs the cap exists to suppress.
+    ``max_df`` is the prefix-filtering cap for that.  RARE shingles
+    (document frequency <= max_df) behave exactly as before: all pairs
+    within the posting list become candidates, so no rare key ever
+    carries more than ``max_df·(max_df−1)/2`` candidate rows.  HOT
+    shingles are not dropped outright (that would zero recall for any
+    near-dup cluster larger than max_df — a mass-duplicated template's
+    shared shingles ALL exceed the cap): instead each hot posting list
+    contributes only its CHAIN of id-adjacent pairs — ``m−1`` candidate
+    rows instead of ``m·(m−1)/2``, linear in the index size.  For a true
+    mass near-dup cluster every adjacent pair verifies (all members are
+    mutually similar), so connectivity — what the downstream
+    ``connected_components`` consumer needs — is preserved; for a
+    boilerplate shingle shared by dissimilar docs the chain edges simply
+    fail exact verification.  Every candidate from either source is
+    re-scored with exact set Jaccard over the full (uncapped) shingle
+    arrays, so emitted pairs are always exact; what the cap trades away
+    is *pair enumeration completeness* among docs sharing only hot
+    shingles (inherently quadratic output no bounded plan can emit).
     ``max_df=None`` keeps the uncapped exact-at-every-pair form (the
     contract-query oracle shape, guarded by row count at the call site —
     see ``__spark_entry__.SPARSE_JACCARD_EXACT_MAX``).
@@ -218,25 +227,30 @@ def sparse_jaccard_pairs(
         F.explode("shingles").alias("shingle"),
     )
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("shingle")
-        )
+        from pyspark.sql import Window
+
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        rare = df_counts.where(F.col("_df") <= max_df).select("shingle")
         capped = sh.join(rare, "shingle", "left_semi")
         a, b = capped.alias("a"), capped.alias("b")
-        candidates = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .select(
-                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-            )
-            .distinct()
+        rare_pairs = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
+        hot = df_counts.where(F.col("_df") > max_df).select("shingle")
+        hot_postings = sh.join(hot, "shingle", "left_semi")
+        w = Window.partitionBy("shingle").orderBy("_id")
+        chain_pairs = (
+            hot_postings.withColumn("_prev", F.lag("_id").over(w))
+            .where(F.col("_prev").isNotNull())
+            .select(
+                F.col("_prev").alias("id_a"), F.col("_id").alias("id_b")
+            )
+        )
+        candidates = rare_pairs.union(chain_pairs).distinct()
         return exact_jaccard(candidates, df, id_col, text_col, k)
     a, b = sh.alias("a"), sh.alias("b")
     return (

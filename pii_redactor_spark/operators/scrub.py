@@ -206,26 +206,47 @@ _NPART_STAT_MAX_FILES = 64
 
 
 def _npart_cache_key(df: DataFrame, target: int) -> tuple | None:
+    """Freshness key for the probe cache.  Small inputs stat every file
+    (size + mtime); inputs with more than _NPART_STAT_MAX_FILES files —
+    the at-scale layout, where the probe is most expensive and caching
+    matters most — use a digest of the sorted file list plus the parent
+    DIRECTORY stats (a rewrite under the same names creates/deletes
+    entries, bumping the dir mtime), so caching stays on without N stat
+    calls.  Non-local URIs (no stat) are not cached."""
+    import hashlib
+    import os
+
     try:
         files = sorted(df.inputFiles())
     except Exception:
         return None
-    if not files or len(files) > _NPART_STAT_MAX_FILES:
+    if not files:
         return None
-    import os
 
-    stats = []
-    for f in files:
-        path = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            st = os.stat(path)
-        except OSError:
-            return None
-        stats.append((st.st_size, st.st_mtime_ns))
+    def local(f: str) -> str:
+        return f[len("file:"):] if f.startswith("file:") else f
+
+    try:
+        if len(files) <= _NPART_STAT_MAX_FILES:
+            stats = tuple(
+                (st.st_size, st.st_mtime_ns)
+                for st in (os.stat(local(f)) for f in files)
+            )
+            ident: tuple = (tuple(files), stats)
+        else:
+            dirs = sorted({os.path.dirname(local(f)) for f in files})
+            dir_stats = tuple(
+                (d, os.stat(d).st_mtime_ns) for d in dirs
+            )
+            digest = hashlib.sha256(
+                "\n".join(files).encode()
+            ).hexdigest()
+            ident = (len(files), digest, dir_stats)
+    except OSError:
+        return None
     conf = df.sparkSession.conf
     return (
-        tuple(files),
-        tuple(stats),
+        ident,
         target,
         conf.get("spark.sql.files.maxPartitionBytes", "0"),
         conf.get("spark.sql.files.openCostInBytes", "0"),

@@ -151,6 +151,12 @@ def scrub_text_file(
     encodings only (module docstring).  Returns the written DataFrame.
     """
     lines = read_text_lines(spark, input_path, encoding)
+    if _is_utf8(encoding) and blank_lines == "drop":
+        # uniform semantics across encodings: "drop" omits blank/
+        # whitespace-only lines in UTF-8 mode too (the CSV charset path
+        # drops them structurally; without this the job flag would
+        # silently no-op under the default encoding)
+        lines = lines.where(~F.col("value").rlike(_BLANK_RE))
     if not _is_utf8(encoding) and blank_lines == "error":
         # the CSV path cannot represent blank lines (module docstring);
         # fail loudly up front instead of silently dropping them.  The
@@ -166,20 +172,26 @@ def scrub_text_file(
                 "to omit them, or re-encode the input as UTF-8"
             )
     redact = make_redact_line_udf(cfg)
-    red = lines.select(
+    keyed = lines.select(
         F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_line"),
-        redact(F.col("value")).alias("value"),
+        "value",
     )
     if ordered:
+        # Shuffle FIRST, redact AFTER: repartitionByRange samples its child
+        # to pick range boundaries, so putting the UDF below the shuffle
+        # would evaluate the whole redaction twice (once for the sampling
+        # pass, once for the real exchange — measured 2x).  Ordering is
+        # preserved because the UDF is applied per-partition after the
+        # range sort, as a narrow projection.
         n_out = output_files or spark.sparkContext.defaultParallelism
         out = (
-            red.repartitionByRange(n_out, "_file", "_line")
+            keyed.repartitionByRange(n_out, "_file", "_line")
             .sortWithinPartitions("_file", "_line")
-            .select("value")
+            .select(redact(F.col("value")).alias("value"))
         )
     else:
-        out = red.select("value")
+        out = keyed.select(redact(F.col("value")).alias("value"))
     if _is_utf8(encoding):
         out.write.mode("overwrite").text(output_path)
     else:

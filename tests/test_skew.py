@@ -125,10 +125,11 @@ def test_prefix_filter_bounds_posting_lists(spark, boilerplate_docs):
 
 
 def test_capped_pairs_exact_and_cheap(spark, boilerplate_docs):
-    """With the cap on, the 10k-doc boilerplate key never reaches the
-    self-join: candidates come from rare shingles only, and every emitted
-    pair carries the EXACT full-array Jaccard (verified against a direct
-    per-pair computation)."""
+    """With the cap on, the 10k-doc boilerplate keys never reach the
+    all-pairs self-join: rare shingles contribute their full (tiny) pair
+    sets, hot shingles contribute only id-adjacent CHAIN pairs (linear,
+    ~10k candidates instead of ~5*10^7), and every emitted pair carries
+    the EXACT full-array Jaccard."""
     from pii_redactor_spark.operators.dedup import (
         exact_jaccard,
         sparse_jaccard_pairs,
@@ -138,31 +139,36 @@ def test_capped_pairs_exact_and_cheap(spark, boilerplate_docs):
         boilerplate_docs, "doc_id", "text", k=3, max_df=50
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
-    # only the planted rare-shingle pairs survive the prefix filter
-    assert set(got) == {
-        (100_001, 100_002),
-        (100_003, 100_004),
-        (100_005, 100_006),
-    }
-    # exactness: jaccard computed over the FULL shingle arrays, not the
-    # capped index
-    expect_df = spark.createDataFrame(
-        [(a, b) for a, b in got], "id_a long, id_b long"
-    )
+    # linear, not quadratic: ~(n-1) chain pairs + 3 planted pairs, vs
+    # n*(n-1)/2 ≈ 5*10^7 uncapped candidates on the hot key
+    assert len(got) < 15_000, len(got)
+    # the planted rare-shingle pairs all survive
+    planted = {(100_001, 100_002), (100_003, 100_004), (100_005, 100_006)}
+    assert planted <= set(got)
+    # hot-shingle candidates are chains: adjacent ids present, distant
+    # ids absent
+    assert (0, 1) in got
+    assert (0, 5_000) not in got
+    # exactness: every emitted jaccard equals the direct full-array
+    # computation for that pair
+    sample = list(planted) + [(0, 1), (7, 8)]
+    expect_df = spark.createDataFrame(sample, "id_a long, id_b long")
     expected = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in exact_jaccard(
             expect_df, boilerplate_docs, "doc_id", "text", 3
         ).collect()
     }
-    assert got == expected
+    for p in sample:
+        assert got[p] == expected[p], p
     # each planted pair: 6 words -> 4 shingles, sharing 4-1=3 of 5 distinct
     assert abs(got[(100_001, 100_002)] - 3 / 5) < 1e-12
 
 
-def test_capped_matches_uncapped_on_rare_shingle_pairs(spark):
-    """On a small corpus, pairs that share at least one rare shingle get
-    identical Jaccard from the capped and uncapped forms."""
+def test_capped_matches_uncapped_on_shared_pairs(spark):
+    """On a small corpus, every pair the capped form emits carries the
+    identical Jaccard as the uncapped form; non-adjacent pairs sharing
+    only hot shingles are the (documented) enumeration loss."""
     from pii_redactor_spark.operators.dedup import sparse_jaccard_pairs
 
     docs = spark.createDataFrame(
@@ -184,8 +190,42 @@ def test_capped_matches_uncapped_on_rare_shingle_pairs(spark):
             docs, "doc_id", "text", 3, max_df=2
         ).collect()
     }
-    # docs 1/2 share the rare shingles containing alpha/beta: exact match
-    assert capped[(1, 2)] == uncapped[(1, 2)]
-    # pair (1,3)/(2,3) share ONLY the df=3 boilerplate shingles -> filtered
+    # every emitted pair is exact (== uncapped value)
+    for p, j in capped.items():
+        assert j == uncapped[p], p
+    # rare-shingle pair present; hot-chain neighbor present; the
+    # non-adjacent hot-only pair is the enumeration loss
+    assert (1, 2) in capped
+    assert (2, 3) in capped          # chain edge on the df=3 hot shingle
     assert (1, 3) in uncapped and (1, 3) not in capped
-    assert set(capped) == {(1, 2)}
+
+
+def test_mass_dup_cluster_survives_cap(spark):
+    """The recall-cliff case: a near-dup cluster LARGER than max_df (every
+    shared shingle is hot).  Chain candidates must keep the cluster
+    connected so the downstream components consumer still finds ONE
+    cluster covering all members."""
+    from pii_redactor_spark.operators.dedup import (
+        connected_components,
+        sparse_jaccard_pairs,
+    )
+
+    n = 500
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # 9 shared words + one varying token: pairwise jaccard ~0.6
+        "concat('mass template caption body shared across every copy v',"
+        " id % 7) AS text",
+    )
+    edges = (
+        sparse_jaccard_pairs(docs, "doc_id", "text", k=3, max_df=50)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges, max_iter=32)
+    agg = labels.agg(
+        F.count("*").alias("members"),
+        F.countDistinct("cluster_id").alias("clusters"),
+    ).collect()[0]
+    assert agg["members"] == n
+    assert agg["clusters"] == 1

@@ -33,7 +33,10 @@ def run_bench(checkout: str, sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["PYTHONPATH"] = checkout
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = (
+        checkout + os.pathsep + prev if prev else checkout
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(checkout, "bench.py")],
         cwd=checkout, env=env, capture_output=True, text=True,
@@ -58,9 +61,9 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
 
-    wt = os.path.join(REPO, ".cache", "bench_ab_old")
-    subprocess.run(["git", "worktree", "remove", "--force", wt],
-                   cwd=REPO, capture_output=True)
+    # pid-unique path: a concurrent bench_ab must not remove the worktree
+    # another invocation is actively benchmarking
+    wt = os.path.join(REPO, ".cache", f"bench_ab_old_{os.getpid()}")
     subprocess.run(
         ["git", "worktree", "add", "--force", "--detach", wt, args.ref],
         cwd=REPO, check=True, capture_output=True,
