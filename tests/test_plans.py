@@ -176,3 +176,62 @@ def test_embedding_neardup_guard_switches_paths(spark, monkeypatch):
     monkeypatch.setattr(entry, "NEARDUP_ALLPAIRS_MAX", 0)
     big = entry.q_embedding_neardup_pairs(spark, "/root/testdata/sf0.001")
     assert not _theta_join_free(_plan(big))
+
+
+def test_capped_jaccard_plan_theta_free_and_guard_switches(spark, monkeypatch):
+    """The prefix-filtered (max_df) path must also be theta-join-free:
+    rare pairs from a shingle equi-join, hot chains from a window — no
+    Cartesian/all-pairs shape anywhere.  Forcing the guard to 0 exercises
+    the capped plan at test scale."""
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(entry, "SPARSE_JACCARD_EXACT_MAX", 0)
+    plan = _plan(
+        entry.q_doc_ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+    )
+    assert not _theta_join_free(plan), _theta_join_free(plan)
+    assert "Window" in plan, plan  # the hot-shingle chain generator
+
+
+def test_ordered_text_sink_udf_above_range_exchange(spark, tmp_root):
+    """Regression pin for the double-evaluation bug: in the ordered sink
+    the redact UDF must sit ABOVE the range-partitioning exchange, so the
+    boundary-sampling pass reads raw lines instead of running the whole
+    redaction a second time."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pii_redactor_spark.sources.textfile import (
+        make_redact_line_udf,
+        read_text_lines,
+    )
+
+    inp = os.path.join(tmp_root, "plan_pin_in.txt")
+    with open(inp, "w", encoding="utf-8") as f:
+        f.write("\n".join(f"line {i}" for i in range(100)) + "\n")
+    lines = read_text_lines(spark, inp)
+    redact = make_redact_line_udf()
+    out = (
+        lines.select(
+            F.input_file_name().alias("_file"),
+            F.monotonically_increasing_id().alias("_line"),
+            "value",
+        )
+        .repartitionByRange(4, "_file", "_line")
+        .sortWithinPartitions("_file", "_line")
+        .select(redact(F.col("value")).alias("value"))
+    )
+    plan = _plan(out)
+    import re
+
+    udf = re.search(r"\((\d+)\) ArrowEvalPython", plan)
+    exchanges = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange\n(?:.*\n)*?Arguments: "
+                             r"rangepartitioning", plan)
+    ]
+    assert udf and exchanges, plan
+    # larger id = later (downstream) in formatted explain numbering: the
+    # UDF must evaluate after the range exchange, not feed it
+    assert int(udf.group(1)) > max(exchanges), plan
