@@ -141,3 +141,88 @@ def committed_parts(table_path: str) -> set[int]:
     for snap in manifest["snapshots"]:
         parts.update(snap["parts"])
     return parts
+
+
+# --- Snapshot operations (Iceberg metadata-table / time-travel analogs) ------
+
+
+def snapshots(spark: SparkSession, table_path: str) -> DataFrame:
+    """Snapshot metadata as a DataFrame — the Iceberg ``table.snapshots``
+    metadata-table analog: (snapshot_id, run_id, committed_at, n_parts,
+    counters as JSON)."""
+    rows = [
+        (
+            int(s["snapshot_id"]),
+            s.get("run_id", ""),
+            s.get("committed_at", ""),
+            len(s.get("parts", [])),
+            json.dumps(s.get("counters", {}), sort_keys=True),
+        )
+        for s in read_manifest(table_path)["snapshots"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, run_id string, committed_at string, "
+        "n_parts int, counters_json string",
+    )
+
+
+def parts_as_of(table_path: str, snapshot_id: int) -> list[int]:
+    """Partition ids committed at or before ``snapshot_id``."""
+    parts: set[int] = set()
+    for s in read_manifest(table_path)["snapshots"]:
+        if s["snapshot_id"] <= snapshot_id:
+            parts.update(s["parts"])
+    return sorted(parts)
+
+
+def read_table_as_of(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int,
+    partition_col: str = "phash_prefix",
+) -> DataFrame:
+    """Read the table as of ``snapshot_id``: only partitions committed by
+    then are scanned — the membership filter lands in the scan's
+    PartitionFilters, so later partitions are never read from storage
+    (pinned by tests/test_bucketing.py).
+
+    Honest boundary vs real Iceberg: this layout commits *partitions* and
+    rewrites them in place (dynamic partition overwrite), so a partition
+    RE-committed after ``snapshot_id`` serves its current bytes — the
+    partition SET is as-of, the bytes of rewritten partitions are not.
+    Full byte-level time travel needs file-retaining snapshots (Iceberg's
+    expire-managed data files), which is exactly the swap this module's
+    API isolates.  For the primary consumer — resume/rollback of an
+    append-style decisions run, where each partition commits once — the
+    two semantics coincide.
+    """
+    from pyspark.sql import functions as F
+
+    parts = parts_as_of(table_path, snapshot_id)
+    return read_table(spark, table_path).where(
+        F.col(partition_col).isin([int(p) for p in parts])
+        if parts
+        else F.lit(False)
+    )
+
+
+def rollback_to_snapshot(table_path: str, snapshot_id: int) -> dict:
+    """Drop every snapshot after ``snapshot_id`` from the manifest (atomic
+    tmp+rename).  The Iceberg ``rollback_to_snapshot`` analog — and fully
+    sound in this layout: rolled-back partitions simply leave the
+    committed set, so the resumable pipeline's LEFT-ANTI todo recomputes
+    and re-overwrites them on the next run (idempotent dynamic partition
+    overwrite)."""
+    manifest = read_manifest(table_path)
+    kept = [
+        s for s in manifest["snapshots"] if s["snapshot_id"] <= snapshot_id
+    ]
+    if len(kept) == len(manifest["snapshots"]):
+        return manifest
+    manifest["snapshots"] = kept
+    fd, tmp = tempfile.mkstemp(dir=table_path, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path(table_path))
+    return manifest

@@ -297,3 +297,70 @@ def test_parallelize_for_udf_reprobes_after_inplace_overwrite(
     assert len(_NPART_CACHE) == 2
     (key2,) = [k for k in _NPART_CACHE if k != key1]
     assert key2 != key1
+
+
+def test_snapshot_time_travel_and_rollback(spark, tmp_root, fixture_tables):
+    """Iceberg-analog snapshot ops on the decisions store: the snapshots
+    metadata view, as-of-snapshot partition-pruned reads, and rollback +
+    resume (rolled-back partitions leave the committed set and get
+    recomputed by the LEFT-ANTI todo on the next run)."""
+    import contextlib
+    import io
+
+    from pii_redactor_spark.sources.storage import (
+        parts_as_of,
+        read_manifest,
+        read_table_as_of,
+        rollback_to_snapshot,
+        snapshots,
+    )
+
+    images_path, _ = fixture_tables
+    out = f"{tmp_root}/out_snapshots"
+    run_pipeline(
+        spark, images_path, out, prefixes_per_commit=5,
+        materialize_bytes=False,
+    )
+    data_path = f"{out}/data"
+    manifest = read_manifest(data_path)
+    n_snaps = len(manifest["snapshots"])
+    assert n_snaps >= 3  # several commit groups
+
+    # metadata view matches the manifest
+    meta = snapshots(spark, data_path)
+    rows = {r["snapshot_id"]: r for r in meta.collect()}
+    assert len(rows) == n_snaps
+    assert rows[1]["n_parts"] == 5
+
+    # as-of read: snapshot 1 sees exactly its parts — and the membership
+    # filter is a PARTITION filter (later partitions never scanned)
+    asof = read_table_as_of(spark, data_path, snapshot_id=1)
+    want_parts = set(parts_as_of(data_path, 1))
+    got_parts = {
+        r["phash_prefix"]
+        for r in asof.select("phash_prefix").distinct().collect()
+    }
+    assert got_parts == want_parts
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "phash_prefix" in seg, plan
+
+    full = spark.read.parquet(data_path).count()
+
+    # rollback to snapshot 1: later parts leave the committed set...
+    rollback_to_snapshot(data_path, 1)
+    assert len(read_manifest(data_path)["snapshots"]) == 1
+    # ...and resume recomputes exactly them
+    summary = run_pipeline(
+        spark, images_path, out, prefixes_per_commit=5,
+        materialize_bytes=False,
+    )
+    assert summary["resumed_skipped"] == 5
+    assert spark.read.parquet(data_path).count() == full
+    data = spark.read.parquet(data_path)
+    assert data.groupBy("image_id").count().where(
+        F.col("count") > 1).count() == 0
