@@ -85,16 +85,31 @@ class TrigramLM:
 
     @staticmethod
     def _tally(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted keys + one trailing sentinel slot, counts + 0.0).
+
+        The sentinel lets ``_lookup`` gather straight from
+        ``searchsorted`` output with no clip: an out-of-range index (==
+        len(keys)) lands on the sentinel, whose count is 0.0 — the miss
+        value — so even a query equal to the sentinel key is correct."""
         keys, counts = np.unique(hashes, return_counts=True)
-        return keys, counts.astype(np.float64)
+        return (
+            np.append(keys, np.uint64(0)),
+            np.append(counts.astype(np.float64), 0.0),
+        )
 
     def _lookup(
-        self, keys: np.ndarray, counts: np.ndarray, hashes: np.ndarray
+        self, keys_ext: np.ndarray, counts_ext: np.ndarray,
+        hashes: np.ndarray,
     ) -> np.ndarray:
-        idx = np.searchsorted(keys, hashes)
-        idx_c = np.clip(idx, 0, len(keys) - 1)
-        hit = keys[idx_c] == hashes if len(keys) else np.zeros(len(hashes), bool)
-        out = np.where(hit, counts[idx_c], 0.0)
+        """Count per query hash (0.0 for misses) with minimal temporaries:
+        one binary search over the (tiny, cache-resident) key array, two
+        gathers, one in-place miss zeroing — no clip, no np.where."""
+        n_keys = len(keys_ext) - 1
+        if not n_keys:
+            return np.zeros(len(hashes))
+        idx = keys_ext[:n_keys].searchsorted(hashes)
+        out = counts_ext[idx]
+        out[keys_ext[idx] != hashes] = 0.0
         return out
 
     def bits_per_char(
