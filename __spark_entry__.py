@@ -882,6 +882,21 @@ def q_doc_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_scrub_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-level scrub parity over the WHOLE corpus: one row per document
+    with its fully redacted text.  The DuckDB side reads the materialized
+    independent-oracle table (fixtures.oracle_cache — its own detection
+    walk, classification walk, and a left-to-right splice vs the engine's
+    right-to-left), so the hash check pins every scrubbed byte of every
+    document, not just the pytest corpora."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    return docs.withColumn("_s", scrub_udf(F.col("text"))).select(
+        "doc_id", F.col("_s.scrubbed").alias("scrubbed")
+    )
+
+
 def q_doc_entity_stats(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's analyze_text aggregates (A1/A2: entity counts by type
     + PII char ratio) over the scrubbed documents corpus — entities come from
@@ -972,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
         "doc_scrub": q_doc_scrub,
+        "doc_scrub_bytes": q_doc_scrub_bytes,
         "doc_entity_stats": q_doc_entity_stats,
         "embedding_lsh_hist": q_embedding_lsh_hist,
         "embedding_ivf_cells": q_embedding_ivf_cells,
@@ -1003,6 +1019,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_cells": f"""
             SELECT ivf_cell, COUNT(*) AS n_vectors
             FROM read_parquet('{emb_path}') GROUP BY ivf_cell
+        """,
+        "doc_scrub_bytes": f"""
+            SELECT doc_id, scrubbed FROM read_parquet('{scrub_path}')
         """,
         "doc_scrub": f"""
             SELECT lang, keep, lang_detected, COUNT(*) AS count
