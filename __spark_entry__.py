@@ -884,7 +884,8 @@ def q_doc_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_doc_scrub_bytes(spark: SparkSession, sf: str) -> DataFrame:
     """Byte-level scrub parity over the WHOLE corpus: one row per document
-    with its fully redacted text.  The DuckDB side reads the materialized
+    with BOTH redaction modes' output (typed masks and the
+    boundary-adjusted simple token).  The DuckDB side reads the materialized
     independent-oracle table (fixtures.oracle_cache — its own detection
     walk, classification walk, and a left-to-right splice vs the engine's
     right-to-left), so the hash check pins every scrubbed byte of every
@@ -893,7 +894,9 @@ def q_doc_scrub_bytes(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = parallelize_for_udf(_t(spark, sf, "documents"))
     return docs.withColumn("_s", scrub_udf(F.col("text"))).select(
-        "doc_id", F.col("_s.scrubbed").alias("scrubbed")
+        "doc_id",
+        F.col("_s.scrubbed").alias("scrubbed"),
+        F.col("_s.scrubbed_simple").alias("scrubbed_simple"),
     )
 
 
@@ -1021,7 +1024,8 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{emb_path}') GROUP BY ivf_cell
         """,
         "doc_scrub_bytes": f"""
-            SELECT doc_id, scrubbed FROM read_parquet('{scrub_path}')
+            SELECT doc_id, scrubbed, scrubbed_simple
+            FROM read_parquet('{scrub_path}')
         """,
         "doc_scrub": f"""
             SELECT lang, keep, lang_detected, COUNT(*) AS count
