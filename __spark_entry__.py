@@ -674,6 +674,36 @@ def q_doc_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-corpus near-dedup pass as a row-level contract: every
+    eligible doc that survives near-dedup (one representative — the min
+    id — per exact-Jaccard >= 0.5 cluster, plus every unclustered doc).
+    Same exact inverted-index edges + min-label components as
+    ``doc_neardup_clusters`` (operators.dedup), one LEFT ANTI join for
+    the survivor set; the DuckDB oracle recomputes it with the recursive
+    CTE.  This pins ``dedupe_near``'s keep-set semantics row-by-row."""
+    from pii_redactor_spark.operators.dedup import (
+        connected_components,
+        sparse_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    eligible = docs.where(F.size(F.split("text", " ")) >= 3)
+    edges = (
+        sparse_jaccard_pairs(
+            eligible, "doc_id", "text", k=3,
+            max_df=_sparse_jaccard_max_df(eligible)[0],
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges)
+    losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return eligible.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min rolling char-8-gram hash per doc
     (winnowing's bottom-1 sketch), then collision-group stats per lang."""
@@ -984,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_buckets": q_doc_simhash_buckets,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_neardup_clusters": q_doc_neardup_clusters,
+        "doc_neardup_survivors": q_doc_neardup_survivors,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1381,6 +1412,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pairs,
                    ROUND(AVG(jaccard), 4) AS avg_jaccard
             FROM pairs
+        """,
+        "doc_neardup_survivors": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           RANGE(1, LEN(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])) AS shingles
+                FROM documents
+                WHERE LEN(string_split(text, ' ')) >= 3
+            ), pr AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles)) * 1.0 /
+                      LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))
+                      >= 0.5
+            ), edges AS (
+                SELECT ia, ib FROM pr UNION SELECT ib AS ia, ia AS ib FROM pr
+            ), reach(id, r) AS (
+                SELECT DISTINCT ia AS id, ia AS r FROM edges
+                UNION
+                SELECT e.ia, reach.r FROM edges e
+                JOIN reach ON e.ib = reach.id
+            ), labels AS (
+                SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT doc_id FROM sh
+            WHERE doc_id NOT IN (
+                SELECT id FROM labels WHERE id != cluster_id
+            )
         """,
         "doc_neardup_clusters": """
             WITH RECURSIVE sh AS (
