@@ -96,7 +96,8 @@ def test_relational_queries_have_no_python_nodes(spark):
 
     from pii_redactor_spark.plans import python_udf_nodes
 
-    udf_backed = {"doc_scrub", "doc_entity_stats", "embedding_ivf_cells"}
+    udf_backed = {"doc_scrub", "doc_scrub_bytes", "doc_entity_stats",
+                  "embedding_ivf_cells"}
     oracles = entry.oracle_sql()
     for name, fn in entry.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
