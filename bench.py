@@ -135,7 +135,10 @@ def _scrub_by_length_bucket(spark) -> dict[str, dict]:
         if hi is not None:
             cond = cond & (F.length("text") < hi)
         sub = docs.where(cond)
-        n = sub.count()
+        row = sub.agg(
+            F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+        ).collect()[0]
+        n, chars = row["n"], row["chars"]
         if not n:
             continue
         t0 = time.perf_counter()
@@ -145,6 +148,10 @@ def _scrub_by_length_bucket(spark) -> dict[str, dict]:
             "n_docs": n,
             "sec": round(dt, 3),
             "docs_per_sec": round(n / dt, 1),
+            # the honest cross-bucket comparator: per-doc rates are
+            # fixed-overhead dominated at bench scale (each bucket pays
+            # one small job), chars/sec is the work-normalized number
+            "chars_per_sec": round(chars / dt, 1),
         }
     docs.unpersist()
     return out
