@@ -207,12 +207,14 @@ def sparse_jaccard_pairs(
     near-dup cluster larger than max_df — a mass-duplicated template's
     shared shingles ALL exceed the cap): instead each hot posting list
     contributes only its CHAIN of id-adjacent pairs — ``m−1`` candidate
-    rows instead of ``m·(m−1)/2``, linear in the index size.  For a true
-    mass near-dup cluster every adjacent pair verifies (all members are
-    mutually similar), so connectivity — what the downstream
-    ``connected_components`` consumer needs — is preserved; for a
-    boilerplate shingle shared by dissimilar docs the chain edges simply
-    fail exact verification.  Every candidate from either source is
+    rows instead of ``m·(m−1)/2``, linear in the index size.  When a hot
+    posting list consists of one near-dup cluster, every adjacent pair
+    verifies and connectivity — what the downstream
+    ``connected_components`` consumer needs — is preserved; when
+    dissimilar docs interleave the list, chain edges between them fail
+    exact verification, so such a cluster can fragment into
+    id-contiguous runs (recall is still strictly better than dropping
+    hot shingles, never worse) and boilerplate-only chains die entirely.  Every candidate from either source is
     re-scored with exact set Jaccard over the full (uncapped) shingle
     arrays, so emitted pairs are always exact; what the cap trades away
     is *pair enumeration completeness* among docs sharing only hot

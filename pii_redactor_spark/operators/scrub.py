@@ -197,56 +197,42 @@ def with_scrub(
 # file yields many), so the truthful probe stays rdd.getNumPartitions() —
 # but its RDD conversion is paid once per distinct input, not per call.
 # The key carries everything the split computation depends on: the file
-# list, each file's (size, mtime) — so a table overwritten in place under
-# the same names re-probes — and the session confs that change packing
-# (maxPartitionBytes / openCostInBytes / defaultParallelism).  Inputs whose
-# files can't be stat'ed (non-local URIs) are simply not cached.
+# list, EVERY file's (size, mtime_ns) — so any in-place rewrite re-probes,
+# including content rewrites that leave directory entries untouched — and
+# the session confs that change packing (maxPartitionBytes /
+# openCostInBytes / defaultParallelism).  Local stats are ~1 µs each, so
+# statting every file is cheap up to thousands of files; beyond
+# _NPART_STAT_MAX_FILES the input is not cached at all (a stale-serving
+# heuristic like directory mtimes misses in-place rewrites — correctness
+# over cache hits).  Non-local URIs (no stat) are likewise not cached.
 _NPART_CACHE: dict[tuple, int] = {}
-_NPART_STAT_MAX_FILES = 64
+_NPART_STAT_MAX_FILES = 4096
 
 
 def _npart_cache_key(df: DataFrame, target: int) -> tuple | None:
-    """Freshness key for the probe cache.  Small inputs stat every file
-    (size + mtime); inputs with more than _NPART_STAT_MAX_FILES files —
-    the at-scale layout, where the probe is most expensive and caching
-    matters most — use a digest of the sorted file list plus the parent
-    DIRECTORY stats (a rewrite under the same names creates/deletes
-    entries, bumping the dir mtime), so caching stays on without N stat
-    calls.  Non-local URIs (no stat) are not cached."""
-    import hashlib
     import os
 
     try:
         files = sorted(df.inputFiles())
     except Exception:
         return None
-    if not files:
+    if not files or len(files) > _NPART_STAT_MAX_FILES:
         return None
 
     def local(f: str) -> str:
         return f[len("file:"):] if f.startswith("file:") else f
 
     try:
-        if len(files) <= _NPART_STAT_MAX_FILES:
-            stats = tuple(
-                (st.st_size, st.st_mtime_ns)
-                for st in (os.stat(local(f)) for f in files)
-            )
-            ident: tuple = (tuple(files), stats)
-        else:
-            dirs = sorted({os.path.dirname(local(f)) for f in files})
-            dir_stats = tuple(
-                (d, os.stat(d).st_mtime_ns) for d in dirs
-            )
-            digest = hashlib.sha256(
-                "\n".join(files).encode()
-            ).hexdigest()
-            ident = (len(files), digest, dir_stats)
+        stats = tuple(
+            (st.st_size, st.st_mtime_ns)
+            for st in (os.stat(local(f)) for f in files)
+        )
     except OSError:
         return None
     conf = df.sparkSession.conf
     return (
-        ident,
+        tuple(files),
+        stats,
         target,
         conf.get("spark.sql.files.maxPartitionBytes", "0"),
         conf.get("spark.sql.files.openCostInBytes", "0"),

@@ -116,11 +116,22 @@ def read_manifest(table_path: str) -> dict:
 
 def commit_snapshot(table_path: str, committed_parts: list[int],
                     counters: dict, run_id: str) -> dict:
-    """Append a snapshot entry; atomic via tmp+rename (single-FS sandbox)."""
+    """Append a snapshot entry; atomic via tmp+rename (single-FS sandbox).
+
+    Ids are ALL-TIME monotonic via a persisted high-water mark: after a
+    rollback, new commits continue from the highest id ever issued
+    instead of reusing the rolled-back ids — a consumer that recorded a
+    snapshot_id can never silently resolve it to different-era data
+    (``parts_as_of`` raises on ids no longer in the manifest)."""
     manifest = read_manifest(table_path)
+    next_id = max(
+        int(manifest.get("last_snapshot_id", 0)),
+        max((s["snapshot_id"] for s in manifest["snapshots"]), default=0),
+    ) + 1
+    manifest["last_snapshot_id"] = next_id
     manifest["snapshots"].append(
         {
-            "snapshot_id": len(manifest["snapshots"]) + 1,
+            "snapshot_id": next_id,
             "run_id": run_id,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "parts": sorted(committed_parts),
@@ -168,9 +179,19 @@ def snapshots(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def parts_as_of(table_path: str, snapshot_id: int) -> list[int]:
-    """Partition ids committed at or before ``snapshot_id``."""
+    """Partition ids committed at or before ``snapshot_id``.
+
+    Raises on an id not present in the manifest — it either never
+    existed or was rolled back, and serving a silent guess for a
+    rolled-back era would be wrong-data, not missing-data."""
+    snaps = read_manifest(table_path)["snapshots"]
+    if not any(s["snapshot_id"] == snapshot_id for s in snaps):
+        raise ValueError(
+            f"snapshot {snapshot_id} not in manifest at {table_path} "
+            f"(never committed, or removed by rollback)"
+        )
     parts: set[int] = set()
-    for s in read_manifest(table_path)["snapshots"]:
+    for s in snaps:
         if s["snapshot_id"] <= snapshot_id:
             parts.update(s["parts"])
     return sorted(parts)

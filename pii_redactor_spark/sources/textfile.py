@@ -21,10 +21,13 @@ instead of silent: (1) a payload line containing the \\x01 separator
 byte would split — real text in a legacy charset does not contain it;
 (2) univocity skips fully-empty rows on BOTH read and write, so blank
 lines cannot round-trip through a non-UTF-8 file.  ``blank_lines``
-controls that case: ``"error"`` (default) pre-scans the input JVM-side
-and raises before any work if a blank/whitespace-only line exists;
-``"drop"`` opts into omitting them (the usual distributed-corpus
-contract).  UTF-8 mode preserves blank lines exactly.
+controls that case: ``"error"`` (the default; meaningful for non-UTF-8
+only) pre-scans the input JVM-side and raises before any work if a
+blank/whitespace-only line exists; ``"drop"`` omits such lines under
+EVERY encoding — the usual distributed-corpus contract — so the flag
+behaves identically whatever charset is in play.  UTF-8 mode with the
+default ``"error"`` preserves blank lines exactly (no error is raised;
+the native text path round-trips them).
 
 Ordering (``ordered=True``, the parity mode): output lines are globally
 ordered by ``(input file name, read-order id)`` and written through a
@@ -147,8 +150,11 @@ def scrub_text_file(
     to redacting the input in order (see module docstring for the
     multi-file contract); the write is range-partitioned across
     ``output_files`` (default: the session's default parallelism) part
-    files, not a single task.  ``blank_lines`` applies to non-UTF-8
-    encodings only (module docstring).  Returns the written DataFrame.
+    files, not a single task.  ``blank_lines``: ``"drop"`` omits blank/
+    whitespace-only lines under every encoding; ``"error"`` (default)
+    raises on them for non-UTF-8 encodings (which cannot round-trip
+    them) and preserves them exactly under UTF-8 (module docstring).
+    Returns the written DataFrame.
     """
     lines = read_text_lines(spark, input_path, encoding)
     if _is_utf8(encoding) and blank_lines == "drop":

@@ -354,6 +354,12 @@ def test_snapshot_time_travel_and_rollback(spark, tmp_root, fixture_tables):
     # rollback to snapshot 1: later parts leave the committed set...
     rollback_to_snapshot(data_path, 1)
     assert len(read_manifest(data_path)["snapshots"]) == 1
+    # ...a rolled-back snapshot id no longer resolves (wrong-era data
+    # must raise, not silently serve)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rollback"):
+        parts_as_of(data_path, 2)
     # ...and resume recomputes exactly them
     summary = run_pipeline(
         spark, images_path, out, prefixes_per_commit=5,
@@ -364,3 +370,12 @@ def test_snapshot_time_travel_and_rollback(spark, tmp_root, fixture_tables):
     data = spark.read.parquet(data_path)
     assert data.groupBy("image_id").count().where(
         F.col("count") > 1).count() == 0
+    # ids are all-time monotonic: post-rollback commits continue above
+    # the high-water mark instead of reusing the rolled-back ids, so a
+    # recorded snapshot_id can never resolve to different-era data
+    new_ids = [
+        s["snapshot_id"] for s in read_manifest(data_path)["snapshots"]
+    ]
+    assert new_ids[0] == 1
+    assert all(i > n_snaps for i in new_ids[1:]), new_ids
+    assert len(new_ids) == len(set(new_ids))

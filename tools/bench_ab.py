@@ -62,7 +62,24 @@ def main() -> None:
     args = p.parse_args()
 
     # pid-unique path: a concurrent bench_ab must not remove the worktree
-    # another invocation is actively benchmarking
+    # another invocation is actively benchmarking.  First, sweep
+    # leftovers from crashed runs (SIGKILL/OOM skips the finally block):
+    # any bench_ab_old_<pid> whose pid is no longer alive is garbage.
+    cache = os.path.join(REPO, ".cache")
+    for entry in os.listdir(cache) if os.path.isdir(cache) else []:
+        if not entry.startswith("bench_ab_old_"):
+            continue
+        try:
+            pid = int(entry.rsplit("_", 1)[-1])
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force",
+                 os.path.join(cache, entry)],
+                cwd=REPO, capture_output=True,
+            )
+        except (ValueError, PermissionError):
+            continue
     wt = os.path.join(REPO, ".cache", f"bench_ab_old_{os.getpid()}")
     subprocess.run(
         ["git", "worktree", "add", "--force", "--detach", wt, args.ref],
