@@ -109,3 +109,57 @@ def test_confidence_threshold_monotone(text, thr):
         assert (s, e, t) in lo_keys or any(
             ls <= s and e <= le for ls, le, _lt, _lc in lo
         )
+
+
+# --- engine vs independent-oracle differential ------------------------------
+# The contract queries hash-check the engine against the oracle walk on the
+# fixed testdata corpus; this fuzz extends the same differential to
+# arbitrary generated text (PII fragments, sre-special codepoints, NULs),
+# guarding both implementations against future drift in either direction.
+
+_pii_fragments = st.sampled_from([
+    "john.doe@example.com", "123-45-6789", "(555) 123-4567", "123456789",
+    "4532-1234-5678-9012", "01/01/1980", "050-1234567", "AB1234567",
+    "John Smith", "אלון כהן", "יוסי כהן", "Evelyn Hartley",
+    "רחוב הרצל 45, תל אביב", "12 במרץ 1985", "01-23-45-67-89",
+])
+_oracle_text = st.one_of(
+    _text,
+    st.tuples(_text, _pii_fragments, _text).map(
+        lambda t: f"{t[0]} {t[1]} {t[2]}"
+    ),
+    st.sampled_from(["", "\x00", "ıİſKÅ mixed", "   "]),
+)
+
+
+@given(_oracle_text)
+@settings(max_examples=300, deadline=None)
+def test_engine_matches_independent_oracle_walk(text):
+    from pii_redactor_spark.fixtures.oracle_cache import (
+        _build_lm,
+        _detection_banks,
+        _langid_scorers,
+        _oracle_keep,
+        _oracle_langid,
+        _oracle_scrubbed,
+        _oracle_scrubbed_simple,
+        _oracle_spans,
+    )
+
+    if not hasattr(test_engine_matches_independent_oracle_walk, "_ctx"):
+        test_engine_matches_independent_oracle_walk._ctx = (
+            _detection_banks(), _langid_scorers(), _build_lm()
+        )
+    banks, (stop_re, marker_re), lm = (
+        test_engine_matches_independent_oracle_walk._ctx
+    )
+
+    r = scrub_text(text)
+    spans = _oracle_spans(text, banks)
+    assert [(s, e) for s, e, _t in
+            [(en["start"], en["end"], en["entity_type"])
+             for en in r.entities]] == spans
+    assert r.scrubbed == _oracle_scrubbed(text, spans), text
+    assert r.scrubbed_simple == _oracle_scrubbed_simple(text, spans), text
+    assert r.lang == _oracle_langid(text, stop_re, marker_re), text
+    assert r.keep == _oracle_keep(text, lm), text
