@@ -704,6 +704,23 @@ def q_doc_neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return eligible.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
+def q_doc_decontaminate_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM rule): drop every train
+    doc sharing a word n-gram with the benchmark corpus (n=3 at caption
+    length; the published rule uses 13 for web documents).  The bench
+    set is the deterministic doc_id % 50 == 0 slice and train is the
+    rest; survivors are returned row-level.  Scale shape
+    (operators.dedup.decontaminate): the bench gram set broadcasts, the
+    train side is filtered by a broadcast semi-join — the 10^12-row side
+    is never shuffled (plan pinned in tests/test_dedup.py)."""
+    from pii_redactor_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3).select("doc_id")
+
+
 def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min rolling char-8-gram hash per doc
     (winnowing's bottom-1 sketch), then collision-group stats per lang."""
@@ -1015,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_neardup_clusters": q_doc_neardup_clusters,
         "doc_neardup_survivors": q_doc_neardup_survivors,
+        "doc_decontaminate_survivors": q_doc_decontaminate_survivors,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1412,6 +1430,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pairs,
                    ROUND(AVG(jaccard), 4) AS avg_jaccard
             FROM pairs
+        """,
+        "doc_decontaminate_survivors": """
+            WITH sh AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           RANGE(1, LEN(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])) AS grams
+                FROM documents
+                WHERE LEN(string_split(text, ' ')) >= 3
+            ), bench AS (
+                SELECT DISTINCT UNNEST(grams) AS g FROM sh
+                WHERE doc_id % 50 = 0
+            ), bad AS (
+                SELECT DISTINCT t.doc_id
+                FROM (SELECT doc_id, UNNEST(grams) AS g FROM sh
+                      WHERE doc_id % 50 != 0) t
+                JOIN bench USING (g)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 != 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "doc_neardup_survivors": """
             WITH RECURSIVE sh AS (

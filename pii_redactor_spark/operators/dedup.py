@@ -59,15 +59,23 @@ def dedupe_exact(df: DataFrame, text_col: str = "text",
 
 def with_shingles(df: DataFrame, text_col: str = "text",
                   k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingle array per row (JVM higher-order fns)."""
+    """Distinct word k-gram shingle array per row (JVM higher-order fns).
+
+    The shingle expression is TOTAL (guarded by an inline IF): Spark may
+    evaluate a projection on rows the accompanying filter would drop
+    (e.g. around a Generate), and an unguarded ``sequence(1, size-k+1)``
+    turns DESCENDING for short rows, driving ``element_at`` out of
+    bounds."""
     toks = f"split({text_col}, ' ')"
     gram = " , ".join(f"element_at(split({text_col}, ' '), i + {j})"
                       for j in range(k))
     return df.where(F.expr(f"size({toks}) >= {k}")).withColumn(
         "shingles",
         F.expr(
+            f"IF(size({toks}) >= {k}, "
             f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
-            f" i -> concat_ws(' ', {gram})))"
+            f" i -> concat_ws(' ', {gram}))), "
+            f"CAST(array() AS array<string>))"
         ),
     )
 
@@ -493,3 +501,60 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def ngram_hashes(df: DataFrame, text_col: str = "text", n: int = 5,
+                 id_col: str | None = None) -> DataFrame:
+    """Distinct word n-gram 64-bit hashes per row (JVM higher-order fns +
+    xxhash64 — the compact join key for contamination checks)."""
+    sh = with_shingles(df, text_col, k=n)
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode("shingles").alias("_gram")
+    ]
+    return sh.select(*cols).withColumn(
+        "gram_hash", F.xxhash64("_gram")
+    ).drop("_gram")
+
+
+def contaminated_ids(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Train doc ids sharing at least one word n-gram with the benchmark
+    corpus (the GPT-3/PaLM decontamination rule).
+
+    Scale shape: the benchmark side is tiny relative to a 10^12-row train
+    corpus, so its distinct gram-hash set BROADCASTS and the train side
+    is filtered by a broadcast hash semi-join — the train table is never
+    shuffled; the only wide op is the final distinct on the (small)
+    contaminated-id set.  Hash collisions (xxhash64, ~2^-64 per pair)
+    can only ADD a contaminated id — conservative in the right direction
+    for decontamination.
+    """
+    bench_grams = ngram_hashes(bench, text_col, n).distinct()
+    train_grams = ngram_hashes(train, text_col, n, id_col=id_col)
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Drop every train doc sharing an n-gram with the benchmark set: one
+    broadcast semi-join + one LEFT ANTI join; deterministic, no shuffle
+    of the train rows."""
+    bad = contaminated_ids(train, bench, text_col, id_col, n)
+    return train.join(bad, id_col, "left_anti")

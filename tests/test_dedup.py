@@ -198,3 +198,42 @@ def test_connected_components_multi_component_correctness(spark):
     for v in (3000, 3001, 3002):
         assert got[v] == 3000
     assert got[4000] == got[4001] == 4000
+
+
+def test_decontaminate_drops_exact_ngram_overlap(spark):
+    """Benchmark decontamination: any train doc sharing a single word
+    5-gram with the bench corpus is dropped; everything else survives.
+    The train side must be filtered by a BROADCAST semi-join (no train
+    shuffle)."""
+    import contextlib
+    import io
+
+    from pii_redactor_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog today"),
+            (2, "completely unrelated caption about mountain lakes here"),
+            (3, "prefix words then the quick brown fox jumps embedded"),
+            (4, "short doc"),  # < 5 tokens: no grams, must survive
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark question: the quick brown fox jumps over what")],
+        "doc_id long, text string",
+    )
+    bad = {r["doc_id"] for r in
+           contaminated_ids(train, bench, n=5).collect()}
+    assert bad == {1, 3}
+    survivors = {r["doc_id"] for r in
+                 decontaminate(train, bench, n=5).collect()}
+    assert survivors == {2, 4}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decontaminate(train, bench, n=5).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
