@@ -721,6 +721,20 @@ def q_doc_decontaminate_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(train, bench, n=3).select("doc_id")
 
 
+def q_doc_substring_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document exact-substring duplication (the long-run dedup
+    modality of Lee et al., distinct from whole-doc Jaccard): every doc
+    pair sharing an exact 40-char substring, from the exact inverted
+    index (``operators.dedup.substring_dup_pairs``; the winnowed sketch
+    and the max_df cap are the at-scale dials, pinned in
+    tests/test_dedup.py).  DuckDB recomputes via substring explode +
+    self-join."""
+    from pii_redactor_spark.operators.dedup import substring_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return substring_dup_pairs(docs, window=40)
+
+
 def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min rolling char-8-gram hash per doc
     (winnowing's bottom-1 sketch), then collision-group stats per lang."""
@@ -1033,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_clusters": q_doc_neardup_clusters,
         "doc_neardup_survivors": q_doc_neardup_survivors,
         "doc_decontaminate_survivors": q_doc_decontaminate_survivors,
+        "doc_substring_dup_pairs": q_doc_substring_dup_pairs,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1430,6 +1445,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pairs,
                    ROUND(AVG(jaccard), 4) AS avg_jaccard
             FROM pairs
+        """,
+        "doc_substring_dup_pairs": """
+            WITH win AS (
+                SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                    RANGE(1, LEN(text) - 38),
+                    i -> SUBSTRING(text, i, 40)))) AS sub
+                FROM documents WHERE LEN(text) >= 40
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM win a JOIN win b
+              ON a.sub = b.sub AND a.doc_id < b.doc_id
         """,
         "doc_decontaminate_survivors": """
             WITH sh AS (

@@ -558,3 +558,104 @@ def decontaminate(
     of the train rows."""
     bad = contaminated_ids(train, bench, text_col, id_col, n)
     return train.join(bad, id_col, "left_anti")
+
+
+# --- exact substring duplication (winnowing) ---------------------------------
+
+
+def _window_subs_expr(text_col: str, window: int) -> str:
+    """Total expression: array of every ``window``-char substring."""
+    return (
+        f"IF(char_length({text_col}) >= {window}, "
+        f"transform(sequence(1, char_length({text_col}) - {window - 1}),"
+        f" i -> substring({text_col}, i, {window})), "
+        f"CAST(array() AS array<string>))"
+    )
+
+
+def substring_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    winnow: int | None = None,
+) -> DataFrame:
+    """(id, sub) postings of ``window``-char substrings per doc.
+
+    ``winnow=None``: every distinct window (the exact index).
+    ``winnow=w``: the winnowing sketch (Schleimer et al., MOSS): keep a
+    substring only where its xxhash64 is the minimum of some ``w``
+    consecutive windows — bounds postings to ~2·len/w per doc while
+    GUARANTEEING that any exact shared substring of length >=
+    ``window + w - 1`` still shares at least one selected posting (both
+    docs select the same minimal window inside it).  Selection is by
+    hash, but the emitted posting is the SUBSTRING itself, so downstream
+    equality is exact — winnowing trades recall on shorter overlaps,
+    never precision.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(_window_subs_expr(text_col, window)).alias("_all"),
+    )
+    if winnow is None:
+        posted = F.array_distinct(F.col("_all"))
+    else:
+        # per sliding group of `winnow` consecutive windows, keep the
+        # substring with the minimal hash (slice clamps at the array end,
+        # so a doc with fewer than `winnow` windows degenerates to its
+        # global min — winnowing's boundary case)
+        posted = F.expr(
+            f"""IF(size(_all) = 0, CAST(array() AS array<string>),
+            array_distinct(transform(
+                sequence(1, greatest(size(_all) - {winnow - 1}, 1)),
+                j -> element_at(
+                    filter(slice(_all, j, {winnow}),
+                           t -> xxhash64(t) = array_min(
+                               transform(slice(_all, j, {winnow}),
+                                         u -> xxhash64(u)))),
+                    1)
+            )))"""
+        )
+    return base.select("_id", posted.alias("_subs")).select(
+        "_id", F.explode("_subs").alias("sub")
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    winnow: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct doc pairs sharing an exact ``window``-char substring —
+    cross-document boilerplate/quotation detection (the long-substring
+    dedup modality of Lee et al., "Deduplicating Training Data", distinct
+    from whole-doc near-dup Jaccard).
+
+    Scale shape: inverted index keyed on the substring — one equi-join,
+    no theta join.  ``winnow`` bounds per-doc postings (recall floor:
+    shared runs >= window + winnow - 1 chars always collide); ``max_df``
+    prefix-filters substrings hotter than the cap (same skew bound as
+    ``sparse_jaccard_pairs``; a substring shared by half the corpus is
+    boilerplate to report separately, not to pair-enumerate).
+    """
+    posts = substring_postings(df, text_col, id_col, window, winnow)
+    if max_df is not None:
+        rare = (
+            posts.groupBy("sub").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("sub")
+        )
+        posts = posts.join(rare, "sub", "left_semi")
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )

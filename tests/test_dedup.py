@@ -237,3 +237,52 @@ def test_decontaminate_drops_exact_ngram_overlap(spark):
         decontaminate(train, bench, n=5).explain(mode="formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_substring_dup_pairs_exact_and_winnowed(spark):
+    """Cross-document exact-substring duplication: the exact index finds
+    every pair sharing a 40-char run; the winnowed sketch (a) bounds
+    postings per doc, (b) still finds every pair whose shared run is at
+    least window + winnow - 1 chars (the winnowing guarantee), and (c)
+    never emits a pair the exact index would not (precision)."""
+    from pii_redactor_spark.operators.dedup import (
+        substring_dup_pairs,
+        substring_postings,
+    )
+
+    boiler = "This exact boilerplate sentence is repeated across documents!"
+    assert len(boiler) >= 40 + 8 - 1  # >= window + winnow - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique prefix one {boiler} unique suffix alpha"),
+            (2, f"other beginning text {boiler} different ending beta"),
+            (3, "entirely unrelated caption with no shared runs at all "
+                "padded to be comfortably long enough for windows"),
+            # last char before / first char after the boilerplate differ
+            # across docs 1/2/4, so NO boundary-crossing window is shared
+            # by only two docs (the max_df assertion depends on that)
+            (4, f"third copy 4q9 {boiler} trailing words gamma"),
+            (5, "short"),  # shorter than the window: no postings
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(docs, window=40).collect()
+    }
+    assert exact == {(1, 2), (1, 4), (2, 4)}
+    winnowed = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(docs, window=40, winnow=8).collect()
+    }
+    assert winnowed == exact  # guarantee holds for the 61-char shared run
+    # sketch actually bounds the index: far fewer postings than windows
+    n_exact = substring_postings(docs, window=40).count()
+    n_win = substring_postings(docs, window=40, winnow=8).count()
+    assert n_win < n_exact / 2, (n_win, n_exact)
+    # max_df cap: the boilerplate run shared by 3 docs dies at max_df=2
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(docs, window=40, max_df=2).collect()
+    }
+    assert capped == set()
