@@ -735,6 +735,46 @@ def q_doc_substring_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return substring_dup_pairs(docs, window=40)
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signal (Rae et al. §A1.1): per doc,
+    the fraction of characters covered by the most frequent word 2-gram
+    (count × gram length / total chars — the standard overlapping-gram
+    definition) and the >0.20 repetition flag.  Entirely JVM-side: one
+    explode + two hash aggregations keyed on the doc id; tie-break is the
+    lexicographically greatest gram via max(struct(count, gram)), which
+    DuckDB reproduces with the same ORDER BY pair."""
+    docs = _t(spark, sf, "documents")
+    # occurrence grams (NOT deduped — the signal counts repetitions)
+    grams = docs.where(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    top = counts.groupBy("doc_id", "n_chars").agg(
+        F.max(F.struct("cnt", "gram")).alias("top")
+    )
+    return top.select(
+        "doc_id",
+        F.col("top.gram").alias("top_2gram"),
+        F.round(
+            F.col("top.cnt") * F.length("top.gram") / F.col("n_chars"), 4
+        ).alias("top2gram_char_frac"),
+        (
+            F.col("top.cnt") * F.length("top.gram") / F.col("n_chars")
+            > 0.20
+        ).alias("repetitive_2gram"),
+    )
+
+
 def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min rolling char-8-gram hash per doc
     (winnowing's bottom-1 sketch), then collision-group stats per lang."""
@@ -1048,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_survivors": q_doc_neardup_survivors,
         "doc_decontaminate_survivors": q_doc_decontaminate_survivors,
         "doc_substring_dup_pairs": q_doc_substring_dup_pairs,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1445,6 +1486,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pairs,
                    ROUND(AVG(jaccard), 4) AS avg_jaccard
             FROM pairs
+        """,
+        "doc_repetition_stats": """
+            WITH grams AS (
+                SELECT doc_id, LEN(text) AS n_chars,
+                       UNNEST(LIST_TRANSFORM(
+                           RANGE(1, LEN(string_split(text, ' '))),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1])) AS gram
+                FROM documents
+                WHERE LEN(string_split(text, ' ')) >= 2
+            ), counts AS (
+                SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+                FROM grams GROUP BY doc_id, n_chars, gram
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY cnt DESC, gram DESC) AS rn
+                FROM counts
+            )
+            SELECT doc_id,
+                   gram AS top_2gram,
+                   ROUND(cnt * LEN(gram) * 1.0 / n_chars, 4)
+                       AS top2gram_char_frac,
+                   cnt * LEN(gram) * 1.0 / n_chars > 0.20
+                       AS repetitive_2gram
+            FROM ranked WHERE rn = 1
         """,
         "doc_substring_dup_pairs": """
             WITH win AS (
