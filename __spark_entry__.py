@@ -775,6 +775,52 @@ def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_boilerplate_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """The other half of the hot-substring story: substrings the max_df
+    prefix cap would exclude from pair enumeration are REPORTED here with
+    their document frequency — the boilerplate inventory a corpus owner
+    acts on (strip/allowlist), produced by one hash aggregation over the
+    same inverted index.  Runs are canonicalized to their maximal form at
+    query granularity: only windows whose df >= 3 appear, deduped per
+    doc, so df is docs-containing, not occurrences."""
+    from pii_redactor_spark.operators.dedup import substring_postings
+
+    docs = _t(spark, sf, "documents")
+    return (
+        substring_postings(docs, window=40)
+        .groupBy("sub")
+        .agg(F.countDistinct("_id").alias("df"))
+        .where(F.col("df") >= 3)
+    )
+
+
+def q_embedding_kept_lsh_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal pipeline shape: quality-filter the captions (scrub
+    UDF), JOIN the kept docs to their embeddings, and histogram the LSH
+    index buckets of the kept subset — filter-then-index, the order a
+    real training pipeline runs in (never index what you will drop).
+    The DuckDB side joins the two materialized oracle tables (scrub keep
+    decisions × independent NumPy bucket assignment)."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf, scrub_udf
+    from pii_redactor_spark.operators.similarity import with_lsh_bucket
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    kept = (
+        docs.withColumn("_s", scrub_udf(F.col("text")))
+        .where(F.col("_s.keep"))
+        .select("doc_id")
+    )
+    emb = _t(spark, sf, "embeddings")
+    kept_emb = emb.join(
+        F.broadcast(kept), emb.vec_id == kept.doc_id, "left_semi"
+    )
+    return (
+        with_lsh_bucket(kept_emb, n_planes=8, seed=42)
+        .groupBy("lsh_bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def q_doc_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min rolling char-8-gram hash per doc
     (winnowing's bottom-1 sketch), then collision-group stats per lang."""
@@ -1089,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_survivors": q_doc_decontaminate_survivors,
         "doc_substring_dup_pairs": q_doc_substring_dup_pairs,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_boilerplate_runs": q_doc_boilerplate_runs,
+        "embedding_kept_lsh_hist": q_embedding_kept_lsh_hist,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1118,6 +1166,13 @@ def oracle_sql() -> dict[str, str]:
     scrub_path, ent_path = materialize_scrub_oracle(oracle_sf)
     emb_path = materialize_embedding_oracle(oracle_sf)
     return {
+        "embedding_kept_lsh_hist": f"""
+            SELECT e.lsh_bucket, COUNT(*) AS n_vectors
+            FROM read_parquet('{emb_path}') e
+            JOIN read_parquet('{scrub_path}') s ON e.vec_id = s.doc_id
+            WHERE s.keep
+            GROUP BY e.lsh_bucket
+        """,
         "embedding_lsh_hist": f"""
             SELECT bucket_size, COUNT(*) AS n_buckets FROM (
                 SELECT lsh_bucket, COUNT(*) AS bucket_size
@@ -1486,6 +1541,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pairs,
                    ROUND(AVG(jaccard), 4) AS avg_jaccard
             FROM pairs
+        """,
+        "doc_boilerplate_runs": """
+            WITH win AS (
+                SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                    RANGE(1, LEN(text) - 38),
+                    i -> SUBSTRING(text, i, 40)))) AS sub
+                FROM documents WHERE LEN(text) >= 40
+            )
+            SELECT sub, COUNT(DISTINCT doc_id) AS df
+            FROM win GROUP BY sub HAVING COUNT(DISTINCT doc_id) >= 3
         """,
         "doc_repetition_stats": """
             WITH grams AS (

@@ -97,7 +97,7 @@ def test_relational_queries_have_no_python_nodes(spark):
     from pii_redactor_spark.plans import python_udf_nodes
 
     udf_backed = {"doc_scrub", "doc_scrub_bytes", "doc_entity_stats",
-                  "embedding_ivf_cells"}
+                  "embedding_ivf_cells", "embedding_kept_lsh_hist"}
     oracles = entry.oracle_sql()
     for name, fn in entry.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
