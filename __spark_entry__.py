@@ -749,10 +749,15 @@ def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         F.explode(
+            # total expression (same discipline as with_shingles): Spark
+            # may evaluate the projection on rows the filter would drop,
+            # and the unguarded sequence turns descending for 1-token docs
             F.expr(
+                "IF(size(split(text, ' ')) >= 2, "
                 "transform(sequence(1, size(split(text, ' ')) - 1), "
                 "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                "element_at(split(text, ' '), i + 1)))"
+                "element_at(split(text, ' '), i + 1))), "
+                "CAST(array() AS array<string>))"
             )
         ).alias("gram"),
     )
@@ -811,9 +816,10 @@ def q_embedding_kept_lsh_hist(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
     )
     emb = _t(spark, sf, "embeddings")
-    kept_emb = emb.join(
-        F.broadcast(kept), emb.vec_id == kept.doc_id, "left_semi"
-    )
+    # no broadcast hint: the survivor set is proportional to the corpus,
+    # so forcing a broadcast would collect ~N ids to the driver at scale;
+    # the optimizer picks broadcast only when the side actually fits
+    kept_emb = emb.join(kept, emb.vec_id == kept.doc_id, "left_semi")
     return (
         with_lsh_bucket(kept_emb, n_planes=8, seed=42)
         .groupBy("lsh_bucket")

@@ -600,20 +600,22 @@ def substring_postings(
     if winnow is None:
         posted = F.array_distinct(F.col("_all"))
     else:
-        # per sliding group of `winnow` consecutive windows, keep the
-        # substring with the minimal hash (slice clamps at the array end,
-        # so a doc with fewer than `winnow` windows degenerates to its
-        # global min — winnowing's boundary case)
+        # hash every window ONCE (one O(n) pass); then per sliding group
+        # of `winnow` consecutive windows pick the first-minimum's index
+        # from the precomputed hash array — no per-group re-hashing
+        # (slice clamps at the array end, so a doc with fewer than
+        # `winnow` windows degenerates to its global min — winnowing's
+        # boundary case).
+        base = base.withColumn(
+            "_h", F.expr("transform(_all, t -> xxhash64(t))")
+        )
         posted = F.expr(
             f"""IF(size(_all) = 0, CAST(array() AS array<string>),
             array_distinct(transform(
                 sequence(1, greatest(size(_all) - {winnow - 1}, 1)),
-                j -> element_at(
-                    filter(slice(_all, j, {winnow}),
-                           t -> xxhash64(t) = array_min(
-                               transform(slice(_all, j, {winnow}),
-                                         u -> xxhash64(u)))),
-                    1)
+                j -> element_at(_all, CAST(j - 1 + array_position(
+                        slice(_h, j, {winnow}),
+                        array_min(slice(_h, j, {winnow}))) AS INT))
             )))"""
         )
     return base.select("_id", posted.alias("_subs")).select(

@@ -230,14 +230,21 @@ def _npart_cache_key(df: DataFrame, target: int) -> tuple | None:
     except OSError:
         return None
     conf = df.sparkSession.conf
-    return (
-        tuple(files),
+    # digest the (large) identity tuple: the cache key is 64 chars, not a
+    # 4096-entry file list, so superseded keys left behind by in-place
+    # rewrites cost bytes, not megabytes (the >256-entry clear bounds the
+    # count as before)
+    import hashlib
+
+    ident = repr((
+        files,
         stats,
         target,
         conf.get("spark.sql.files.maxPartitionBytes", "0"),
         conf.get("spark.sql.files.openCostInBytes", "0"),
         df.sparkSession.sparkContext.defaultParallelism,
-    )
+    ))
+    return (hashlib.sha256(ident.encode()).hexdigest(),)
 
 
 def parallelize_for_udf(df: DataFrame, min_factor: int = 2) -> DataFrame:

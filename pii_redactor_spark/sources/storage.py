@@ -241,6 +241,13 @@ def rollback_to_snapshot(table_path: str, snapshot_id: int) -> dict:
     ]
     if len(kept) == len(manifest["snapshots"]):
         return manifest
+    # seed the high-water mark from the ids being DROPPED too: a
+    # pre-upgrade manifest (no last_snapshot_id key) must not let the
+    # next commit reuse a rolled-back id
+    manifest["last_snapshot_id"] = max(
+        int(manifest.get("last_snapshot_id", 0)),
+        max(s["snapshot_id"] for s in manifest["snapshots"]),
+    )
     manifest["snapshots"] = kept
     fd, tmp = tempfile.mkstemp(dir=table_path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:

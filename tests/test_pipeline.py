@@ -379,3 +379,35 @@ def test_snapshot_time_travel_and_rollback(spark, tmp_root, fixture_tables):
     assert new_ids[0] == 1
     assert all(i > n_snaps for i in new_ids[1:]), new_ids
     assert len(new_ids) == len(set(new_ids))
+
+
+def test_rollback_pre_upgrade_manifest_never_reuses_ids(tmp_root):
+    """A manifest written before last_snapshot_id existed must still get
+    all-time-monotonic ids across rollback: the high-water mark is seeded
+    from the ids being dropped."""
+    import json
+    import os
+
+    from pii_redactor_spark.sources.storage import (
+        commit_snapshot,
+        manifest_path,
+        read_manifest,
+        rollback_to_snapshot,
+    )
+
+    path = os.path.join(tmp_root, "old_manifest_table")
+    os.makedirs(path, exist_ok=True)
+    legacy = {
+        "snapshots": [
+            {"snapshot_id": i, "run_id": "r", "committed_at": "t",
+             "parts": [i], "counters": {}}
+            for i in (1, 2, 3)
+        ]
+    }
+    with open(manifest_path(path), "w") as f:
+        json.dump(legacy, f)
+    rollback_to_snapshot(path, 1)
+    m = commit_snapshot(path, [9], {}, "r2")
+    ids = [s["snapshot_id"] for s in m["snapshots"]]
+    assert ids == [1, 4], ids  # 2 and 3 are never reused
+    assert read_manifest(path)["last_snapshot_id"] == 4

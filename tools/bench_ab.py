@@ -73,11 +73,19 @@ def main() -> None:
             pid = int(entry.rsplit("_", 1)[-1])
             os.kill(pid, 0)
         except ProcessLookupError:
-            subprocess.run(
-                ["git", "worktree", "remove", "--force",
-                 os.path.join(cache, entry)],
+            stale = os.path.join(cache, entry)
+            rm = subprocess.run(
+                ["git", "worktree", "remove", "--force", stale],
                 cwd=REPO, capture_output=True,
             )
+            if rm.returncode != 0:
+                # half-populated dir from a crash mid-add: not a valid
+                # worktree, so remove it directly and drop the metadata
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+                subprocess.run(["git", "worktree", "prune"],
+                               cwd=REPO, capture_output=True)
         except (ValueError, PermissionError):
             continue
     wt = os.path.join(REPO, ".cache", f"bench_ab_old_{os.getpid()}")
