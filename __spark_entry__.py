@@ -596,6 +596,10 @@ def q_doc_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
 # NEARDUP_ALLPAIRS_MAX; plan/bound pinned by tests/test_skew.py.
 SPARSE_JACCARD_EXACT_MAX = 100_000
 SPARSE_JACCARD_MAX_DF = 1_000
+# Exact substring-pair enumeration guard: below it the uncapped exact
+# inverted index runs (the oracle form); above it the winnowed sketch +
+# df cap bound cost (recall floor: shared runs >= 47 chars).
+SUBSTRING_EXACT_MAX = 1_000
 
 
 def _sparse_jaccard_max_df(eligible: DataFrame) -> tuple[int | None, int]:
@@ -714,8 +718,11 @@ def q_doc_decontaminate_survivors(spark: SparkSession, sf: str) -> DataFrame:
     train side is filtered by a broadcast semi-join — the 10^12-row side
     is never shuffled (plan pinned in tests/test_dedup.py)."""
     from pii_redactor_spark.operators.dedup import decontaminate
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
 
-    docs = _t(spark, sf, "documents")
+    # the gram explosion is ~50x the row count: restore parallelism on a
+    # small single-split scan (no-op at scale, same as the scrub queries)
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
     bench = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
     return decontaminate(train, bench, n=3).select("doc_id")
@@ -730,9 +737,17 @@ def q_doc_substring_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_dedup.py).  DuckDB recomputes via substring explode +
     self-join."""
     from pii_redactor_spark.operators.dedup import substring_dup_pairs
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
 
-    docs = _t(spark, sf, "documents")
-    return substring_dup_pairs(docs, window=40)
+    # ~260 windows per doc: parallelize the index build on small scans.
+    # Adaptive exactness (same pattern as the jaccard guard): at oracle
+    # scale the uncapped exact index runs; above the guard, template
+    # corpora make exact pair enumeration inherently quadratic on hot
+    # boilerplate runs, so the winnowed sketch + df cap take over.
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    if docs.count() <= SUBSTRING_EXACT_MAX:
+        return substring_dup_pairs(docs, window=40)
+    return substring_dup_pairs(docs, window=40, winnow=8, max_df=100)
 
 
 def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -743,7 +758,9 @@ def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     explode + two hash aggregations keyed on the doc id; tie-break is the
     lexicographically greatest gram via max(struct(count, gram)), which
     DuckDB reproduces with the same ORDER BY pair."""
-    docs = _t(spark, sf, "documents")
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
     # occurrence grams (NOT deduped — the signal counts repetitions)
     grams = docs.where(F.size(F.split("text", " ")) >= 2).select(
         "doc_id",
@@ -789,10 +806,16 @@ def q_doc_boilerplate_runs(spark: SparkSession, sf: str) -> DataFrame:
     query granularity: only windows whose df >= 3 appear, deduped per
     doc, so df is docs-containing, not occurrences."""
     from pii_redactor_spark.operators.dedup import substring_postings
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    # above the guard the winnowed sketch bounds the index; a long hot
+    # run still surfaces (every doc pair sharing it selects a common
+    # window inside it, so some of its windows accumulate df >= 3),
+    # though per-window df can fragment across the run's windows
+    winnow = None if docs.count() <= SUBSTRING_EXACT_MAX else 8
     return (
-        substring_postings(docs, window=40)
+        substring_postings(docs, window=40, winnow=winnow)
         .groupBy("sub")
         .agg(F.countDistinct("_id").alias("df"))
         .where(F.col("df") >= 3)

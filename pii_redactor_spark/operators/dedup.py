@@ -66,17 +66,24 @@ def with_shingles(df: DataFrame, text_col: str = "text",
     (e.g. around a Generate), and an unguarded ``sequence(1, size-k+1)``
     turns DESCENDING for short rows, driving ``element_at`` out of
     bounds."""
-    toks = f"split({text_col}, ' ')"
-    gram = " , ".join(f"element_at(split({text_col}, ' '), i + {j})"
-                      for j in range(k))
-    return df.where(F.expr(f"size({toks}) >= {k}")).withColumn(
-        "shingles",
-        F.expr(
-            f"IF(size({toks}) >= {k}, "
-            f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
-            f" i -> concat_ws(' ', {gram}))), "
-            f"CAST(array() AS array<string>))"
-        ),
+    # Tokenize ONCE into a projected column: inlining split() into every
+    # element_at re-tokenizes the text ~3k times per row (measured as the
+    # dominant cost of the gram stage); Catalyst does not collapse the
+    # alias back in because it is referenced many times.
+    gram = " , ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .where(F.expr(f"size(_toks) >= {k}"))
+        .withColumn(
+            "shingles",
+            F.expr(
+                f"IF(size(_toks) >= {k}, "
+                f"array_distinct(transform(sequence(1, size(_toks) - {k - 1}),"
+                f" i -> concat_ws(' ', {gram}))), "
+                f"CAST(array() AS array<string>))"
+            ),
+        )
+        .drop("_toks")
     )
 
 
@@ -598,28 +605,42 @@ def substring_postings(
         F.expr(_window_subs_expr(text_col, window)).alias("_all"),
     )
     if winnow is None:
-        posted = F.array_distinct(F.col("_all"))
-    else:
-        # hash every window ONCE (one O(n) pass); then per sliding group
-        # of `winnow` consecutive windows pick the first-minimum's index
-        # from the precomputed hash array — no per-group re-hashing
-        # (slice clamps at the array end, so a doc with fewer than
-        # `winnow` windows degenerates to its global min — winnowing's
-        # boundary case).
-        base = base.withColumn(
-            "_h", F.expr("transform(_all, t -> xxhash64(t))")
+        return base.select(
+            "_id", F.explode(F.array_distinct("_all")).alias("sub")
         )
-        posted = F.expr(
-            f"""IF(size(_all) = 0, CAST(array() AS array<string>),
-            array_distinct(transform(
-                sequence(1, greatest(size(_all) - {winnow - 1}, 1)),
-                j -> element_at(_all, CAST(j - 1 + array_position(
-                        slice(_h, j, {winnow}),
-                        array_min(slice(_h, j, {winnow}))) AS INT))
-            )))"""
+    # Winnowing as a WINDOW pass, not nested array lambdas: posexplode
+    # the windows, hash each once, take the sliding forward-min of
+    # (hash, sub) over `winnow` rows per doc, and keep one selection per
+    # complete group.  (A lambda formulation with slice()/array_min()
+    # re-inlines the whole window-array construction into every slice —
+    # Catalyst's projection collapsing turns it O(n²·w) per row; the
+    # window form is one shuffle keyed on the doc id and O(n·w) row
+    # work.)  Docs with fewer than `winnow` windows keep group 0 only —
+    # the global min, winnowing's boundary case.  Tie-break is the
+    # smallest (hash, substring) pair — deterministic, and identical in
+    # any two docs sharing the run, so the recall guarantee holds.
+    from pyspark.sql import Window
+
+    ex = base.select(
+        "_id", F.posexplode("_all").alias("pos", "sub")
+    ).withColumn("_h", F.xxhash64("sub"))
+    grp = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, winnow - 1)
+    )
+    whole = Window.partitionBy("_id")
+    return (
+        ex.withColumn("_pick", F.min(F.struct("_h", "sub")).over(grp))
+        .withColumn("_maxpos", F.max("pos").over(whole))
+        .where(
+            F.col("pos")
+            <= F.greatest(
+                F.col("_maxpos") - F.lit(winnow - 1), F.lit(0)
+            )
         )
-    return base.select("_id", posted.alias("_subs")).select(
-        "_id", F.explode("_subs").alias("sub")
+        .select("_id", F.col("_pick.sub").alias("sub"))
+        .distinct()
     )
 
 
