@@ -408,6 +408,106 @@ def q_part_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-order count distribution via a LEFT OUTER
+    join (customers with zero orders must appear) and a two-level hash agg.
+    Both aggs are partial-aggregation-friendly; the join shuffles on the
+    customer key only — no skew risk beyond the key's own distribution."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_small_qty_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below half the part's average
+    quantity.  The correlated scalar subquery becomes a per-part aggregate
+    joined back on the part key — one shuffle each side, co-partitioned on
+    l_partkey, so AQE can pick a shuffle-hash join at any scale (the per-part
+    aggregate is |parts| rows, broadcastable when small)."""
+    li = _t(spark, sf, "lineitem")
+    thr = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.5).alias("qty_thr"))
+        .withColumnRenamed("l_partkey", "pk")
+    )
+    return (
+        li.join(thr, li.l_partkey == thr.pk)
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customer.  The HAVING-subquery is a pre-aggregated join
+    side (sum per orderkey, filtered BEFORE the join, so only qualifying
+    orders shuffle); customer is the small dim side."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_supplier_balance_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: nations whose supplier account-balance sum exceeds a
+    fraction of the global total.  The global scalar is a 1-row aggregate
+    crossJoined onto the grouped frame (a conditionless broadcast-nested-loop
+    over one row — constant cost at any scale)."""
+    supp = _t(spark, sf, "supplier")
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("nation_bal")
+    )
+    total = supp.agg((F.sum("s_acctbal") * 0.04).alias("bal_thr"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .where(F.col("nation_bal") > F.col("bal_thr"))
+        .select(
+            "s_nationkey", F.round("nation_bal", 2).alias("nation_bal")
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-user event-value totals spread into one column per event
+    type.  The value list is explicit (no distinct-collect planning pass —
+    at 10^12 rows an implicit pivot would scan the table twice); the plan is
+    a single hash agg with 5 conditional sums, fully partial-aggregatable."""
+    events = _t(spark, sf, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return pivoted
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis, regex, dedup
 # ---------------------------------------------------------------------------
@@ -898,6 +998,92 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 NEARDUP_ALLPAIRS_MAX = 20_000
 
 
+def q_corpus_token_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level token frequency ranking (Zipf head): global top-20 tokens
+    with their rank.  The heavy part is one explode + hash agg (map-side
+    combined); the global top-k is TakeOrderedAndProject (per-partition heap,
+    driver merge of 20-row heads — no global sort), and the rank window runs
+    on the already-limited 20 rows, so the single-partition window is O(k)."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(20)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def q_doc_unigram_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type-token ratio, averaged per
+    language — the lexical-diversity quality signal (CCNet §4.3 uses the LM
+    analog; the unigram form is the standard cheap proxy).  Entropy is
+    computed from per-(doc, token) counts as log2(n) − Σc·log2(c)/n, i.e.
+    two hash aggregations keyed on the doc id — no per-row Python, and both
+    aggs partial-combine before the shuffle."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        F.count("*").alias("n_types"),
+    )
+    return (
+        per_doc.select(
+            "lang",
+            (F.log2("n") - F.col("clog") / F.col("n")).alias("entropy"),
+            (F.col("n_types") / F.col("n")).alias("ttr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("entropy"), 4).alias("avg_entropy_bits"),
+            F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# Inline stopword probe for the coverage heuristic (quality-rule shape from
+# Gopher §A1.1 / the reference's keep-rules); the corpus vocabulary is the
+# testdata word soup, so the two closed-class words it contains stand in for
+# a real stopword list.
+STOPWORD_PROBE = ["the", "a"]
+
+
+def q_doc_stopword_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-coverage quality heuristic per language: mean fraction of
+    tokens that are stopwords, plus how many docs pass a ≥5% coverage gate.
+    Entirely narrow (split + higher-order filter per row, then one hash
+    agg) — no explode, no shuffle beyond the final groupBy."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORD_PROBE))
+    )
+    cov = n_stop / F.size(toks)
+    return (
+        docs.select("lang", cov.alias("cov"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("cov"), 4).alias("avg_stopword_cov"),
+            F.sum(
+                F.when(F.col("cov") >= 0.05, 1).otherwise(0)
+            ).alias("n_docs_passing"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def _embedding_neardup_allpairs(emb: DataFrame) -> DataFrame:
     """Oracle form (exact, O(n²)) — only ever run under the row-count guard.
 
@@ -1128,6 +1314,49 @@ def q_embedding_ivf_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_semdedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings (the IVF coarse codebook doubles as the k-means
+    step) and dropping, within each cluster, every vector that has a
+    lower-id clustermate with cosine ≥ 0.9.  The within-cell self-join is
+    keyed on the cell id, so pair cost is Σ|cell|² instead of n² — the
+    paper's point; at 10^12 rows the codebook grows (√n cells) to keep
+    cells bounded, and the same hot-cell cap as the shingle index applies.
+    Zero-norm vectors have no cosine and always survive (same exclusion as
+    embedding_neardup_pairs, stated in the oracle SQL)."""
+    from pii_redactor_spark.operators.similarity import (
+        cosine,
+        dot,
+        ivf_assign,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    # The cell assignment feeds both self-join branches, so the Arrow UDF
+    # evaluates once per branch (pinned in test_plans).  A production run
+    # materializes the assignment first (write_ivf_partitioned) so the
+    # join reads cell-partitioned parquet instead of recomputing.
+    assigned = ivf_assign(emb).select("vec_id", "embedding", "ivf_cell")
+    nz = assigned.where(dot(F.col("embedding"), F.col("embedding")) > 0)
+    a = nz.select(
+        "ivf_cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = nz.select(
+        "ivf_cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dup = (
+        a.join(b, "ivf_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.select("vec_id").join(dup, "vec_id", "left_anti")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1150,6 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_session_windows": q_events_session_windows,
         "part_supplier_revenue": q_part_supplier_revenue,
+        "customer_order_distribution": q_customer_order_distribution,
+        "small_qty_order_revenue": q_small_qty_order_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "supplier_balance_share": q_supplier_balance_share,
+        "events_type_pivot": q_events_type_pivot,
         "doc_lang_stats": q_doc_lang_stats,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality_filter": q_doc_quality_filter,
@@ -1168,6 +1402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kept_lsh_hist": q_embedding_kept_lsh_hist,
         "doc_char_fingerprints": q_doc_char_fingerprints,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
+        "corpus_token_zipf": q_corpus_token_zipf,
+        "doc_unigram_entropy": q_doc_unigram_entropy,
+        "doc_stopword_coverage": q_doc_stopword_coverage,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
@@ -1176,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entity_stats": q_doc_entity_stats,
         "embedding_lsh_hist": q_embedding_lsh_hist,
         "embedding_ivf_cells": q_embedding_ivf_cells,
+        "embedding_semdedup_survivors": q_embedding_semdedup_survivors,
     }
 
 
@@ -1228,6 +1466,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(entity_len, 0)) AS BIGINT) AS pii_chars
             FROM read_parquet('{ent_path}')
             GROUP BY lang, COALESCE(entity_type, 'NONE')
+        """,
+        "embedding_semdedup_survivors": f"""
+            -- SemDeDup: the independent NumPy ivf_cell assignment comes from
+            -- the materialized oracle table; zero-norm vectors are excluded
+            -- from pair generation (no defined cosine) and always survive,
+            -- matching both engine paths
+            WITH nz AS (
+                SELECT o.vec_id, o.ivf_cell, e.embedding
+                FROM read_parquet('{emb_path}') o
+                JOIN embeddings e USING (vec_id)
+                WHERE LIST_DOT_PRODUCT(e.embedding, e.embedding) > 0
+            ), dup AS (
+                SELECT DISTINCT b.vec_id
+                FROM nz a JOIN nz b
+                  ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+                WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.9
+            )
+            SELECT vec_id FROM read_parquet('{emb_path}')
+            WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        """,
+        "customer_order_distribution": """
+            SELECT n_orders, COUNT(*) AS n_customers FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY n_orders
+        """,
+        "small_qty_order_revenue": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN (
+                SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS qty_thr
+                FROM lineitem GROUP BY l_partkey
+            ) t ON l.l_partkey = t.pk
+            WHERE l.l_quantity < t.qty_thr
+        """,
+        "large_volume_customers": """
+            SELECT c_custkey, o_orderkey,
+                   ROUND(o_totalprice, 2) AS totalprice,
+                   ROUND(sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(l_quantity) > 300) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "supplier_balance_share": """
+            SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_bal
+            FROM supplier
+            GROUP BY s_nationkey
+            HAVING SUM(s_acctbal) >
+                   (SELECT SUM(s_acctbal) * 0.04 FROM supplier)
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   ROUND(SUM(CASE WHEN event_type = 'click'
+                             THEN value END), 2) AS click,
+                   ROUND(SUM(CASE WHEN event_type = 'error'
+                             THEN value END), 2) AS error,
+                   ROUND(SUM(CASE WHEN event_type = 'purchase'
+                             THEN value END), 2) AS purchase,
+                   ROUND(SUM(CASE WHEN event_type = 'signup'
+                             THEN value END), 2) AS signup,
+                   ROUND(SUM(CASE WHEN event_type = 'view'
+                             THEN value END), 2) AS "view"
+            FROM events GROUP BY user_id
+        """,
+        "corpus_token_zipf": """
+            SELECT token, n_occurrences, rnk FROM (
+                SELECT token, COUNT(*) AS n_occurrences,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY COUNT(*) DESC, token) AS INT) AS rnk
+                FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+                      FROM documents)
+                GROUP BY token
+            ) WHERE rnk <= 20
+        """,
+        "doc_unigram_entropy": """
+            WITH cnt AS (
+                SELECT doc_id, lang, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, lang,
+                             UNNEST(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, lang, tok
+            ), per_doc AS (
+                SELECT lang,
+                       LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c) AS entropy,
+                       COUNT(*) * 1.0 / SUM(c) AS ttr
+                FROM cnt GROUP BY doc_id, lang
+            )
+            SELECT lang,
+                   ROUND(AVG(entropy), 4) AS avg_entropy_bits,
+                   ROUND(AVG(ttr), 4) AS avg_ttr,
+                   COUNT(*) AS n_docs
+            FROM per_doc GROUP BY lang
+        """,
+        "doc_stopword_coverage": """
+            SELECT lang,
+                   ROUND(AVG(cov), 4) AS avg_stopword_cov,
+                   CAST(SUM(CASE WHEN cov >= 0.05 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_passing,
+                   COUNT(*) AS n_docs
+            FROM (
+                SELECT lang,
+                       LEN(LIST_FILTER(string_split(text, ' '),
+                           t -> t IN ('the', 'a'))) * 1.0
+                       / LEN(string_split(text, ' ')) AS cov
+                FROM documents
+            ) GROUP BY lang
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -263,7 +263,13 @@ def ivf_assign(
         norms[norms == 0] = 1.0
         return pd.Series(np.argmax((m / norms) @ cents.T, axis=1))
 
-    return df.withColumn("ivf_cell", cell(F.col(vec_col)))
+    # asNondeterministic stops Catalyst from splitting the evaluation when a
+    # join on ivf_cell pushes an isnotnull(ivf_cell) predicate through the
+    # projection — without it each join branch runs the UDF twice per row
+    # (same double-eval class as the scrub UDF, operators/scrub.py).  The
+    # function is in fact deterministic; the flag only gates pushdown.
+    cell_stable = cell.asNondeterministic()
+    return df.withColumn("ivf_cell", cell_stable(F.col(vec_col)))
 
 
 def ivf_topk(

@@ -96,14 +96,23 @@ def test_relational_queries_have_no_python_nodes(spark):
 
     from pii_redactor_spark.plans import python_udf_nodes
 
-    udf_backed = {"doc_scrub", "doc_scrub_bytes", "doc_entity_stats",
-                  "embedding_ivf_cells", "embedding_kept_lsh_hist"}
+    # expected Arrow-UDF node count per UDF-backed query; everything else
+    # must be 0.  semdedup's cell assignment feeds both self-join branches
+    # (2 nodes) — the production path materializes it once
+    # (write_ivf_partitioned), stated in the query docstring.
+    udf_backed = {"doc_scrub": 1, "doc_scrub_bytes": 1,
+                  "doc_entity_stats": 1, "embedding_ivf_cells": 1,
+                  "embedding_kept_lsh_hist": 1,
+                  "embedding_semdedup_survivors": 2}
     oracles = entry.oracle_sql()
     for name, fn in entry.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         n = python_udf_nodes(df)
         if name in udf_backed:
-            assert n == 1, f"{name} should have exactly one scrub UDF node"
+            assert n == udf_backed[name], (
+                f"{name} should have exactly {udf_backed[name]} UDF nodes, "
+                f"got {n}"
+            )
         elif name in oracles:
             assert n == 0, f"{name} has {n} Python nodes"
 
