@@ -1084,6 +1084,54 @@ def q_doc_stopword_coverage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-list toxicity scrub (north rule: "PII/toxicity-scrub"): per-doc
+    blocklist hit count, token-fraction score, and the masked text with
+    every blocklisted token replaced in place.  One narrow JVM projection
+    (split once, higher-order count + transform) — no UDF, no shuffle; the
+    masked column is hash-pinned byte-for-byte against the SQL splice."""
+    from pii_redactor_spark.functions.toxicity import (
+        mask_toxic,
+        toxic_hits,
+        toxicity_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        toxic_hits("text").alias("n_toxic"),
+        F.round(toxicity_score("text"), 4).alias("toxicity"),
+        mask_toxic("text").alias("masked"),
+    )
+
+
+def q_doc_toxicity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Toxicity keep/drop gate per language: mean blocklisted-token fraction
+    and how many docs exceed the drop threshold (C4/Gopher-style word-list
+    gate).  Same narrow scoring pass as doc_toxicity_scrub feeding one hash
+    aggregation."""
+    from pii_redactor_spark.functions.toxicity import (
+        DEFAULT_TOXICITY_THRESHOLD,
+        toxicity_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    score = toxicity_score("text")
+    return (
+        docs.select("lang", score.alias("tox"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("tox"), 4).alias("avg_toxicity"),
+            F.sum(
+                F.when(
+                    F.col("tox") >= DEFAULT_TOXICITY_THRESHOLD, 1
+                ).otherwise(0)
+            ).alias("n_docs_flagged"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def _embedding_neardup_allpairs(emb: DataFrame) -> DataFrame:
     """Oracle form (exact, O(n²)) — only ever run under the row-count guard.
 
@@ -1405,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_zipf": q_corpus_token_zipf,
         "doc_unigram_entropy": q_doc_unigram_entropy,
         "doc_stopword_coverage": q_doc_stopword_coverage,
+        "doc_toxicity_scrub": q_doc_toxicity_scrub,
+        "doc_toxicity_filter": q_doc_toxicity_filter,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
@@ -1562,6 +1612,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(ttr), 4) AS avg_ttr,
                    COUNT(*) AS n_docs
             FROM per_doc GROUP BY lang
+        """,
+        "doc_toxicity_scrub": """
+            SELECT doc_id,
+                   CAST(LEN(LIST_FILTER(string_split(text, ' '),
+                       t -> t IN ('slow', 'dup', 'junk'))) AS INT)
+                       AS n_toxic,
+                   ROUND(LEN(LIST_FILTER(string_split(text, ' '),
+                             t -> t IN ('slow', 'dup', 'junk'))) * 1.0
+                         / LEN(string_split(text, ' ')), 4) AS toxicity,
+                   ARRAY_TO_STRING(
+                       LIST_TRANSFORM(string_split(text, ' '),
+                           t -> CASE WHEN t IN ('slow', 'dup', 'junk')
+                                THEN '[TOXIC]' ELSE t END),
+                       ' ') AS masked
+            FROM documents
+        """,
+        "doc_toxicity_filter": """
+            SELECT lang,
+                   ROUND(AVG(tox), 4) AS avg_toxicity,
+                   CAST(SUM(CASE WHEN tox >= 0.03 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_flagged,
+                   COUNT(*) AS n_docs
+            FROM (
+                SELECT lang,
+                       LEN(LIST_FILTER(string_split(text, ' '),
+                           t -> t IN ('slow', 'dup', 'junk'))) * 1.0
+                       / LEN(string_split(text, ' ')) AS tox
+                FROM documents
+            ) GROUP BY lang
         """,
         "doc_stopword_coverage": """
             SELECT lang,

@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_signature, with_shingles  # noqa: F401
 from ..operators.similarity import cosine, dot  # noqa: F401
+from .toxicity import (  # noqa: F401
+    mask_toxic,
+    toxic_hits,
+    toxicity_score,
+    with_toxicity,
+)
 
 
 def l2_norm(v: Column) -> Column:

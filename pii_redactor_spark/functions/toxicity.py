@@ -1,0 +1,117 @@
+"""Toxicity scoring + masking: the word-list half of "PII/toxicity-scrub".
+
+The north-star pipeline scrubs captions for PII *and* toxicity.  The PII
+side is span detection (core.detect / operators.scrub); the toxicity side is
+the standard word-list approach (e.g. the LDNOOBW blocklists used by C4,
+Gopher §A1.1's obscene-word gate): a caption is scored by the fraction of
+its tokens that appear in a blocklist, gated at a threshold, and offending
+tokens are masked in place.
+
+Everything here is a JVM-side Column expression — tokenize once with
+``split``, count/mask with higher-order array functions — so the hot path
+stays inside whole-stage codegen with zero Python.  A real deployment swaps
+``DEFAULT_BLOCKLIST`` for its curated per-language lexicon (the expressions
+are list-size-linear per token, fine for the few-hundred-word lists these
+filters use; a 10^5-word lexicon would move to a broadcast join against the
+exploded token column instead — same one-shuffle shape as the dedup index).
+
+``DEFAULT_BLOCKLIST`` is a deterministic PLACEHOLDER drawn from the synthetic
+corpus vocabulary — this repo ships no real profanity list; the mechanism,
+not the lexicon, is the deliverable.  "junk" never occurs in the testdata
+and pins the zero-hit path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BLOCKLIST: tuple[str, ...] = ("slow", "dup", "junk")
+TOXIC_MASK = "[TOXIC]"
+DEFAULT_TOXICITY_THRESHOLD = 0.03
+
+
+def _tokens(text: Column | str) -> Column:
+    # Whitespace tokens, matching the quality heuristics' tokenization.
+    # Prose with punctuation-adjacent words would tokenize with
+    # functions.bpe_ish_tokens instead; the downstream expressions only
+    # need *an* array<string>, so both plug in unchanged.
+    return F.split(text, " ")
+
+
+def toxic_hits(text: Column | str, blocklist: Sequence[str] = DEFAULT_BLOCKLIST) -> Column:
+    """Count of blocklisted tokens (int).  Empty text -> 0."""
+    return F.size(F.filter(_tokens(text), lambda t: t.isin(*blocklist)))
+
+
+def toxicity_score(
+    text: Column | str, blocklist: Sequence[str] = DEFAULT_BLOCKLIST
+) -> Column:
+    """Blocklisted-token fraction in [0, 1].
+
+    ``split`` never returns an empty array (empty text -> [""]), so the
+    denominator is always >= 1 and the score is total.
+    """
+    toks = _tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*blocklist)))
+    return hits / F.size(toks)
+
+
+def mask_toxic(
+    text: Column | str,
+    blocklist: Sequence[str] = DEFAULT_BLOCKLIST,
+    mask: str = TOXIC_MASK,
+) -> Column:
+    """Replace each blocklisted token with ``mask``, preserving the
+    single-space joins the tokenizer split on."""
+    replaced = F.transform(
+        _tokens(text),
+        lambda t: F.when(t.isin(*blocklist), F.lit(mask)).otherwise(t),
+    )
+    return F.array_join(replaced, " ")
+
+
+@dataclass(frozen=True)
+class ToxicityConfig:
+    """Opt-in pipeline dial: None blocklist disables the stage entirely
+    (the default — existing scrub outputs are unchanged unless asked)."""
+
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST
+    threshold: float = DEFAULT_TOXICITY_THRESHOLD
+    mask: str = TOXIC_MASK
+
+
+def with_toxicity(
+    df: DataFrame,
+    text_col: str,
+    cfg: ToxicityConfig = ToxicityConfig(),
+    mask_cols: Sequence[str] = (),
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Append ``n_toxic`` / ``toxicity`` / ``toxic_flag`` scored on
+    ``text_col``, mask each column in ``mask_cols`` in place, and — when
+    ``keep_col`` is given — AND the flag's negation into the existing
+    keep/drop decision.
+
+    One narrow projection: no shuffle, no UDF; safe to place either side of
+    the scrub stage.  Scoring uses ``text_col`` (the pre-mask text) so the
+    flag is independent of mask choice.
+    """
+    score = toxicity_score(F.col(text_col), cfg.blocklist)
+    out = df.withColumns(
+        {
+            "n_toxic": toxic_hits(F.col(text_col), cfg.blocklist),
+            "toxicity": score,
+            "toxic_flag": score >= F.lit(cfg.threshold),
+        }
+    )
+    for c in mask_cols:
+        out = out.withColumn(c, mask_toxic(F.col(c), cfg.blocklist, cfg.mask))
+    if keep_col is not None:
+        out = out.withColumn(
+            keep_col, F.col(keep_col) & ~F.col("toxic_flag")
+        )
+    return out

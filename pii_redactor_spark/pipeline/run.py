@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.toxicity import ToxicityConfig, with_toxicity
 from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
 from ..sources import storage
 
@@ -90,11 +91,29 @@ def todo_prefixes(
     return list(row["todo"]), int(row["n_skipped"])
 
 
+def _apply_toxicity(scrubbed: DataFrame, toxicity: ToxicityConfig | None) -> DataFrame:
+    """Optional toxicity stage (north rule: "PII/toxicity-scrub"): score the
+    raw caption, mask blocklisted tokens in both scrubbed outputs, AND the
+    gate into ``keep``.  A narrow JVM projection — the plan stays one stage.
+    None (the default) is a no-op, so existing outputs and oracles are
+    byte-identical unless the stage is asked for."""
+    if toxicity is None:
+        return scrubbed
+    return with_toxicity(
+        scrubbed,
+        "caption",
+        cfg=toxicity,
+        mask_cols=("scrubbed", "scrubbed_simple"),
+        keep_col="keep",
+    )
+
+
 def scrub_images(
     df: DataFrame,
     salt_partitions: int | None = None,
     seed: int = 42,
     cfg: ScrubConfig = DEFAULT_SCRUB,
+    toxicity: ToxicityConfig | None = None,
 ) -> DataFrame:
     """Scrub transform: optional salted repartition, then the UDF stage.
 
@@ -108,7 +127,7 @@ def scrub_images(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
-    scrubbed = with_scrub(df, cfg=cfg)
+    scrubbed = _apply_toxicity(with_scrub(df, cfg=cfg), toxicity)
     return scrubbed.withColumn("n_entities", F.size("entities"))
 
 
@@ -117,6 +136,7 @@ def scrub_decisions(
     salt_partitions: int | None = None,
     seed: int = 42,
     cfg: ScrubConfig = DEFAULT_SCRUB,
+    toxicity: ToxicityConfig | None = None,
 ) -> DataFrame:
     """The at-scale form of the scrub job: decisions only, bytes untouched.
 
@@ -137,9 +157,10 @@ def scrub_decisions(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
-    scrubbed = with_scrub(pruned, cfg=cfg)
+    scrubbed = _apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
+    extra = [] if toxicity is None else ["n_toxic", "toxicity", "toxic_flag"]
     return scrubbed.withColumn("n_entities", F.size("entities")).select(
-        *DECISION_COLS, "scrubbed", "scrubbed_simple"
+        *DECISION_COLS, "scrubbed", "scrubbed_simple", *extra
     )
 
 
@@ -155,6 +176,7 @@ def run_pipeline(
     fail_before_snapshot: int | None = None,
     anti_join_min_parts: int = ANTI_JOIN_MIN_PARTS,
     scrub_cfg: ScrubConfig = DEFAULT_SCRUB,
+    toxicity: ToxicityConfig | None = None,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
@@ -186,7 +208,7 @@ def run_pipeline(
         part = src.where(F.col("phash_prefix").isin(group))
         if materialize_bytes:
             result = scrub_images(part, salt_partitions=salt_partitions,
-                                  cfg=scrub_cfg)
+                                  cfg=scrub_cfg, toxicity=toxicity)
             out = (
                 result.withColumn("caption_raw", F.col("caption"))
                 .withColumn("caption", F.col("scrubbed"))
@@ -200,7 +222,7 @@ def run_pipeline(
             )
         else:
             result = scrub_decisions(part, salt_partitions=salt_partitions,
-                                     cfg=scrub_cfg)
+                                     cfg=scrub_cfg, toxicity=toxicity)
             storage.write_partitioned(result, data_path, ["phash_prefix"])
 
         # Counters from the *written* data (column-pruned read; never re-runs

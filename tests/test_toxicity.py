@@ -1,0 +1,137 @@
+"""Toxicity word-list stage: scoring, masking, pipeline wiring, plan shape.
+
+The north rule names "PII/toxicity-scrub" as one stage; these pin the
+toxicity half (functions/toxicity.py): token-fraction scoring, in-place
+masking, the keep-gate AND, and that the whole thing stays a JVM projection
+(no Python nodes, no shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redactor_spark.functions.toxicity import (
+    DEFAULT_TOXICITY_THRESHOLD,
+    ToxicityConfig,
+    mask_toxic,
+    toxic_hits,
+    toxicity_score,
+    with_toxicity,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", "the slow fox and the dup line", True),
+            ("d2", "clean caption with no hits", True),
+            ("d3", "slow slow slow junk", True),
+            ("d4", "", True),
+            ("d5", "dropped already", False),
+        ],
+        "doc_id string, text string, keep boolean",
+    )
+
+
+def test_scores_and_hits(df):
+    r = {x["doc_id"]: x for x in df.select(
+        "doc_id",
+        toxic_hits("text").alias("n"),
+        toxicity_score("text").alias("s"),
+    ).collect()}
+    assert r["d1"]["n"] == 2 and abs(r["d1"]["s"] - 2 / 7) < 1e-12
+    assert r["d2"]["n"] == 0 and r["d2"]["s"] == 0.0
+    assert r["d3"]["n"] == 4 and r["d3"]["s"] == 1.0
+    # empty text: split -> [""], denominator 1, score total (no NaN/null)
+    assert r["d4"]["n"] == 0 and r["d4"]["s"] == 0.0
+
+
+def test_mask_preserves_join_structure(df):
+    r = {x["doc_id"]: x["m"] for x in df.select(
+        "doc_id", mask_toxic("text").alias("m")).collect()}
+    assert r["d1"] == "the [TOXIC] fox and the [TOXIC] line"
+    assert r["d2"] == "clean caption with no hits"   # untouched
+    assert r["d3"] == "[TOXIC] [TOXIC] [TOXIC] [TOXIC]"
+    assert r["d4"] == ""
+
+
+def test_with_toxicity_gates_keep_and_masks(df):
+    out = with_toxicity(df, "text", mask_cols=("text",), keep_col="keep")
+    rows = {x["doc_id"]: x for x in out.collect()}
+    # d3 is 100% toxic -> flagged, keep flipped to False
+    assert rows["d3"]["toxic_flag"] and not rows["d3"]["keep"]
+    # d2 clean -> keep unchanged True
+    assert not rows["d2"]["toxic_flag"] and rows["d2"]["keep"]
+    # d5 was already dropped; stays dropped regardless of flag
+    assert not rows["d5"]["keep"]
+    # masking applied in place
+    assert "[TOXIC]" in rows["d1"]["text"]
+
+
+def test_custom_config(df):
+    cfg = ToxicityConfig(blocklist=("clean",), threshold=0.5, mask="<X>")
+    out = with_toxicity(df, "text", cfg=cfg, mask_cols=("text",))
+    rows = {x["doc_id"]: x for x in out.collect()}
+    assert rows["d2"]["n_toxic"] == 1
+    assert rows["d2"]["text"].startswith("<X> caption")
+    assert not rows["d2"]["toxic_flag"]          # 1/5 < 0.5
+    assert rows["d1"]["n_toxic"] == 0
+
+
+def test_threshold_boundary(spark):
+    # score == threshold must flag (>= semantics, matching the oracle SQL)
+    text = " ".join(["slow"] * 3 + ["ok"] * 97)    # score exactly 3/100
+    df = spark.createDataFrame([(text,)], "text string")
+    r = with_toxicity(df, "text").collect()[0]
+    assert abs(r["toxicity"] - DEFAULT_TOXICITY_THRESHOLD) < 1e-12
+    assert r["toxic_flag"]
+
+
+def test_plan_is_pure_projection(df):
+    out = with_toxicity(df, "text", mask_cols=("text",), keep_col="keep")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                "MapInPandas", "FlatMapGroupsInPandas"):
+        assert bad not in plan, f"toxicity stage introduced {bad}:\n{plan}"
+
+
+def test_pipeline_decisions_carry_toxicity(spark, tmp_root):
+    """scrub_decisions(toxicity=...) emits the three columns and gates keep;
+    default (None) emits none — byte-stable existing behavior."""
+    from pii_redactor_spark.fixtures.captions import CaptionConfig
+    from pii_redactor_spark.fixtures.images import write_fixture_tables
+    from pii_redactor_spark.pipeline.run import scrub_decisions
+    from pii_redactor_spark.sources import storage
+
+    images_path, _ = write_fixture_tables(
+        spark, f"{tmp_root}/tox_fx", 64, CaptionConfig(), partitions=4
+    )
+    src = storage.read_table(spark, images_path)
+    base = scrub_decisions(src)
+    assert "toxicity" not in base.columns
+
+    # blocklist a token guaranteed present in some synthetic captions
+    tok = (
+        src.select(F.explode(F.split("caption", " ")).alias("t"))
+        .where(F.length("t") > 2)
+        .groupBy("t").count().orderBy(F.desc("count"))
+        .first()["t"]
+    )
+    cfg = ToxicityConfig(blocklist=(tok,), threshold=0.0001)
+    out = scrub_decisions(src, toxicity=cfg)
+    assert {"n_toxic", "toxicity", "toxic_flag"} <= set(out.columns)
+    agg = out.agg(
+        F.sum(F.col("n_toxic")).alias("hits"),
+        F.sum(F.when(F.col("toxic_flag") & ~F.col("keep"), 1)
+              .otherwise(0)).alias("dropped_flagged"),
+        F.sum(F.when(F.col("toxic_flag") & F.col("keep"), 1)
+              .otherwise(0)).alias("kept_flagged"),
+    ).collect()[0]
+    assert agg["hits"] > 0
+    assert agg["kept_flagged"] == 0          # every flagged row is dropped
+    assert agg["dropped_flagged"] > 0
+    # masked outputs contain the mask wherever the raw caption had the token
+    masked = out.where(F.col("n_toxic") > 0).select("scrubbed").first()
+    assert "[TOXIC]" in masked["scrubbed"]
