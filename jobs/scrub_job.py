@@ -8,7 +8,9 @@ The north rule requires the job to be submitted via ``spark-submit
         --py-files dist/pii_redactor_spark.zip \
         jobs/scrub_job.py --input <images_table> --output <out_dir> \
         [--mode decisions|materialize] [--salt-partitions N] \
-        [--prefixes-per-commit K]
+        [--prefixes-per-commit K] \
+        [--toxicity-blocklist tok1,tok2|@lexicon.txt] \
+        [--toxicity-threshold F] [--toxicity-mask S]
 
 Everything cluster-shaped is inherited from the session Spark gives us (no
 ``.master()`` call here — spark-submit owns deployment); this script only
@@ -26,6 +28,18 @@ import sys
 import time
 
 
+def parse_blocklist(spec: str) -> tuple[str, ...]:
+    """``a,b,c`` inline, or ``@/path`` = one token per line (blank lines and
+    ``#`` comments skipped).  Duplicates collapse; order is preserved."""
+    if spec.startswith("@"):
+        with open(spec[1:], encoding="utf-8") as f:
+            raw = [ln.strip() for ln in f]
+        toks = [t for t in raw if t and not t.startswith("#")]
+    else:
+        toks = [t.strip() for t in spec.split(",") if t.strip()]
+    return tuple(dict.fromkeys(toks))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
@@ -38,13 +52,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--confidence-threshold", type=float, default=0.5)
     p.add_argument("--replacement", default="[REDACTED]")
     p.add_argument("--no-preserve-format", action="store_true")
+    # Toxicity stage (opt-in): comma-separated tokens, or @/path/to/file
+    # with one token per line (the deployment shape for curated lexicons).
+    p.add_argument("--toxicity-blocklist", default=None)
+    p.add_argument("--toxicity-threshold", type=float, default=0.03)
+    p.add_argument("--toxicity-mask", default="[TOXIC]")
     args = p.parse_args(argv)
 
     # Import AFTER spark-submit has placed --py-files on sys.path.
     from pyspark.sql import SparkSession
 
+    from pii_redactor_spark.functions.toxicity import ToxicityConfig
     from pii_redactor_spark.operators.scrub import ScrubConfig
     from pii_redactor_spark.pipeline.run import run_pipeline
+
+    toxicity = None
+    if args.toxicity_blocklist:
+        toxicity = ToxicityConfig(
+            blocklist=parse_blocklist(args.toxicity_blocklist),
+            threshold=args.toxicity_threshold,
+            mask=args.toxicity_mask,
+        )
 
     spark = (
         SparkSession.builder.appName("pii-scrub")
@@ -72,6 +100,7 @@ def main(argv: list[str] | None = None) -> None:
             replacement=args.replacement,
             preserve_format=not args.no_preserve_format,
         ),
+        toxicity=toxicity,
     )
     summary["mode"] = args.mode
     summary["rows"] = summary["n_in"]

@@ -10,10 +10,11 @@ tokens are masked in place.
 Everything here is a JVM-side Column expression — tokenize once with
 ``split``, count/mask with higher-order array functions — so the hot path
 stays inside whole-stage codegen with zero Python.  A real deployment swaps
-``DEFAULT_BLOCKLIST`` for its curated per-language lexicon (the expressions
-are list-size-linear per token, fine for the few-hundred-word lists these
-filters use; a 10^5-word lexicon would move to a broadcast join against the
-exploded token column instead — same one-shuffle shape as the dedup index).
+``DEFAULT_BLOCKLIST`` for its curated per-language lexicon.  The expressions
+are list-size-linear per token — right for the few-hundred-word lists these
+filters use; for a 10^5-phrase lexicon use :func:`with_toxicity_joined`,
+which broadcast-hash-joins the exploded token column instead (same
+one-shuffle shape as the dedup inverted index).
 
 ``DEFAULT_BLOCKLIST`` is a deterministic PLACEHOLDER drawn from the synthetic
 corpus vocabulary — this repo ships no real profanity list; the mechanism,
@@ -82,6 +83,68 @@ class ToxicityConfig:
     blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST
     threshold: float = DEFAULT_TOXICITY_THRESHOLD
     mask: str = TOXIC_MASK
+
+
+def with_toxicity_joined(
+    df: DataFrame,
+    text_col: str,
+    lexicon: DataFrame,
+    id_col: str,
+    threshold: float = DEFAULT_TOXICITY_THRESHOLD,
+    mask: str = TOXIC_MASK,
+) -> DataFrame:
+    """The large-lexicon scale path: broadcast-join scoring + masking.
+
+    The expression path (:func:`with_toxicity`) evaluates ``t.isin(*list)``
+    per token — linear in the lexicon, perfect for the few-hundred-word
+    blocklists these filters actually use, but wrong for a 10^5-phrase
+    curated lexicon.  This variant is the same shape as the dedup inverted
+    index: tokenize once, ``posexplode``, hash-join the token column against
+    a **broadcast** lexicon (O(1) per token), then rebuild the masked text
+    with an order-preserving ``array_sort(collect_list(struct(pos, tok)))``.
+
+    ``lexicon`` must have a ``token`` string column (extra columns ignored);
+    ``id_col`` must be unique per row.  Output matches
+    :func:`with_toxicity`'s ``n_toxic`` / ``toxicity`` / ``toxic_flag``
+    columns plus ``masked`` (the joined path can't mask arbitrary other
+    columns in place without re-exploding each; callers substitute
+    ``masked`` themselves).
+
+    Scale shape: one broadcast hash join on the exploded tokens (no shuffle
+    of the corpus), one hash aggregation keyed on ``id_col``, and one
+    equi-join back to the input — both AQE-planned.  Nothing is quadratic
+    in either corpus or lexicon size.
+    """
+    lex = F.broadcast(lexicon.select(F.col("token")).distinct())
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    joined = toks.join(lex, toks["tok"] == lex["token"], "left")
+    scored = (
+        joined.select(
+            id_col,
+            "pos",
+            F.col("token").isNotNull().alias("hit"),
+            F.when(F.col("token").isNotNull(), F.lit(mask))
+            .otherwise(F.col("tok"))
+            .alias("out_tok"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("hit").cast("int")).alias("n_toxic"),
+            (F.sum(F.col("hit").cast("int")) / F.count("*")).alias("toxicity"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "out_tok"))),
+                    lambda s: s["out_tok"],
+                ),
+                " ",
+            ).alias("masked"),
+        )
+        .withColumn("toxic_flag", F.col("toxicity") >= F.lit(threshold))
+    )
+    return df.join(scored, id_col, "left")
 
 
 def with_toxicity(

@@ -91,7 +91,7 @@ def todo_prefixes(
     return list(row["todo"]), int(row["n_skipped"])
 
 
-def _apply_toxicity(scrubbed: DataFrame, toxicity: ToxicityConfig | None) -> DataFrame:
+def apply_toxicity(scrubbed: DataFrame, toxicity: ToxicityConfig | None) -> DataFrame:
     """Optional toxicity stage (north rule: "PII/toxicity-scrub"): score the
     raw caption, mask blocklisted tokens in both scrubbed outputs, AND the
     gate into ``keep``.  A narrow JVM projection — the plan stays one stage.
@@ -127,7 +127,7 @@ def scrub_images(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
-    scrubbed = _apply_toxicity(with_scrub(df, cfg=cfg), toxicity)
+    scrubbed = apply_toxicity(with_scrub(df, cfg=cfg), toxicity)
     return scrubbed.withColumn("n_entities", F.size("entities"))
 
 
@@ -157,7 +157,7 @@ def scrub_decisions(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
-    scrubbed = _apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
+    scrubbed = apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
     extra = [] if toxicity is None else ["n_toxic", "toxicity", "toxic_flag"]
     return scrubbed.withColumn("n_entities", F.size("entities")).select(
         *DECISION_COLS, "scrubbed", "scrubbed_simple", *extra

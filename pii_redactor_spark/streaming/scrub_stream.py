@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..functions.toxicity import ToxicityConfig
 from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
-from ..pipeline.run import DECISION_COLS
+from ..pipeline.run import DECISION_COLS, apply_toxicity
 
 
 def scrub_file_stream(
@@ -35,6 +36,7 @@ def scrub_file_stream(
     schema: str | None = None,
     max_files_per_trigger: int | None = None,
     cfg: ScrubConfig = DEFAULT_SCRUB,
+    toxicity: ToxicityConfig | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of scrub decisions over a growing parquet dir.
 
@@ -51,11 +53,15 @@ def scrub_file_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(input_dir)
     pruned = src.select("image_id", "phash_prefix", "caption")
-    scrubbed = with_scrub(pruned, cfg=cfg)
+    # Stateless projections compose identically under streaming, so the
+    # optional toxicity stage (score + mask + keep-gate) is the exact batch
+    # code path — schemas stay in lockstep with scrub_decisions.
+    scrubbed = apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
+    extra = [] if toxicity is None else ["n_toxic", "toxicity", "toxic_flag"]
     # Same projection as the batch decisions table (scrub_decisions) —
     # consumers written against one schema must work on both.
     return scrubbed.withColumn("n_entities", F.size("entities")).select(
-        *DECISION_COLS, "scrubbed", "scrubbed_simple"
+        *DECISION_COLS, "scrubbed", "scrubbed_simple", *extra
     )
 
 
@@ -65,9 +71,10 @@ def start_scrub_stream(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    toxicity: ToxicityConfig | None = None,
 ) -> StreamingQuery:
     """Start the scrub stream with exactly-once parquet sink semantics."""
-    decisions = scrub_file_stream(spark, input_dir)
+    decisions = scrub_file_stream(spark, input_dir, toxicity=toxicity)
     writer = (
         decisions.writeStream.format("parquet")
         .option("path", output_dir)

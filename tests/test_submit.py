@@ -86,3 +86,38 @@ def test_submit_materialize_mode(spark, small_images, pyfiles_zip, tmp_root):
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == 300
     assert "bytes" in data.columns
+
+
+def test_submit_decisions_with_toxicity(spark, small_images, pyfiles_zip,
+                                        tmp_root):
+    """--toxicity-blocklist @file plumbs a ToxicityConfig through spark-submit:
+    the decisions table gains the scoring columns and flagged rows drop."""
+    from pyspark.sql import functions as F
+
+    tok = (
+        spark.read.parquet(small_images)
+        .select(F.explode(F.split("caption", " ")).alias("t"))
+        .where(F.length("t") > 2)
+        .groupBy("t").count().orderBy(F.desc("count"))
+        .first()["t"]
+    )
+    lex = f"{tmp_root}/lexicon.txt"
+    with open(lex, "w", encoding="utf-8") as f:
+        f.write(f"# test lexicon\n{tok}\n")
+    out = f"{tmp_root}/submit_out_tox"
+    summary = _submit(
+        pyfiles_zip,
+        ["--input", small_images, "--output", out, "--mode", "decisions",
+         "--toxicity-blocklist", f"@{lex}",
+         "--toxicity-threshold", "0.0001"],
+        cwd=tmp_root,
+    )
+    assert summary["rows"] == 300
+    df = spark.read.parquet(f"{out}/data")
+    assert {"n_toxic", "toxicity", "toxic_flag"} <= set(df.columns)
+    agg = df.agg(
+        F.sum("n_toxic").alias("hits"),
+        F.sum(F.when(F.col("toxic_flag") & F.col("keep"), 1)
+              .otherwise(0)).alias("kept_flagged"),
+    ).collect()[0]
+    assert agg["hits"] > 0 and agg["kept_flagged"] == 0

@@ -97,6 +97,95 @@ def test_plan_is_pure_projection(df):
         assert bad not in plan, f"toxicity stage introduced {bad}:\n{plan}"
 
 
+def test_joined_path_matches_expression_path(spark, df):
+    """with_toxicity_joined (broadcast-join scale path for big lexicons)
+    must agree with the isin-expression path on every output column."""
+    from pii_redactor_spark.functions.toxicity import with_toxicity_joined
+
+    lex = spark.createDataFrame([("slow",), ("dup",), ("junk",)],
+                                "token string")
+    expr = with_toxicity(df, "text").select(
+        "doc_id", "n_toxic", "toxicity", "toxic_flag",
+        mask_toxic("text").alias("masked"),
+    )
+    joined = with_toxicity_joined(df, "text", lex, "doc_id").select(
+        "doc_id", "n_toxic", "toxicity", "toxic_flag", "masked",
+    )
+    e = {r["doc_id"]: r.asDict() for r in expr.collect()}
+    j = {r["doc_id"]: r.asDict() for r in joined.collect()}
+    assert set(e) == set(j)
+    for k in e:
+        assert e[k] == j[k], f"{k}: {e[k]} != {j[k]}"
+
+
+def test_joined_path_plan_shape(spark, df):
+    """The lexicon join must be a broadcast hash join (no corpus shuffle on
+    the token column) and stay free of Python eval nodes."""
+    from pii_redactor_spark.functions.toxicity import with_toxicity_joined
+
+    lex = spark.createDataFrame([("slow",)], "token string")
+    out = with_toxicity_joined(df, "text", lex, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The token join (corpus-sized probe side) must be broadcast; the scored
+    # join-back on the id is corpus-sized on BOTH sides, so a shuffle join
+    # is correct there — only Python nodes and cartesian shapes are banned.
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"joined toxicity path has {bad}:\n{plan}"
+
+
+def test_parse_blocklist(tmp_root):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from scrub_job import parse_blocklist
+
+    assert parse_blocklist("a, b ,a,c") == ("a", "b", "c")
+    path = f"{tmp_root}/lex.txt"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("# curated lexicon\nslow\n\ndup\nslow\n")
+    assert parse_blocklist(f"@{path}") == ("slow", "dup")
+
+
+def test_streaming_scrub_carries_toxicity(spark, tmp_root):
+    """scrub_file_stream(toxicity=...) emits the same extra columns as the
+    batch decisions table and gates keep identically (availableNow drain)."""
+    from pii_redactor_spark.fixtures.captions import CaptionConfig
+    from pii_redactor_spark.fixtures.images import write_fixture_tables
+    from pii_redactor_spark.streaming.scrub_stream import scrub_file_stream
+
+    images_path, _ = write_fixture_tables(
+        spark, f"{tmp_root}/tox_stream_fx", 48, CaptionConfig(), partitions=2
+    )
+    tok = (
+        spark.read.parquet(images_path)
+        .select(F.explode(F.split("caption", " ")).alias("t"))
+        .where(F.length("t") > 2)
+        .groupBy("t").count().orderBy(F.desc("count"))
+        .first()["t"]
+    )
+    cfg = ToxicityConfig(blocklist=(tok,), threshold=0.0001)
+    out_dir = f"{tmp_root}/tox_stream_out"
+    q = (
+        scrub_file_stream(spark, images_path, toxicity=cfg)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp_root}/tox_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert {"n_toxic", "toxicity", "toxic_flag"} <= set(got.columns)
+    agg = got.agg(
+        F.sum("n_toxic").alias("hits"),
+        F.sum(F.when(F.col("toxic_flag") & F.col("keep"), 1)
+              .otherwise(0)).alias("kept_flagged"),
+    ).collect()[0]
+    assert agg["hits"] > 0 and agg["kept_flagged"] == 0
+
+
 def test_pipeline_decisions_carry_toxicity(spark, tmp_root):
     """scrub_decisions(toxicity=...) emits the three columns and gates keep;
     default (None) emits none — byte-stable existing behavior."""
