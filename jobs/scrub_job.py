@@ -10,7 +10,9 @@ The north rule requires the job to be submitted via ``spark-submit
         [--mode decisions|materialize] [--salt-partitions N] \
         [--prefixes-per-commit K] \
         [--toxicity-blocklist tok1,tok2|@lexicon.txt] \
-        [--toxicity-threshold F] [--toxicity-mask S]
+        [--toxicity-threshold F] [--toxicity-mask S] \
+        [--image-quality] [--image-min-side N] [--image-max-aspect F] \
+        [--image-fmt-allow png,jpeg]
 
 Everything cluster-shaped is inherited from the session Spark gives us (no
 ``.master()`` call here — spark-submit owns deployment); this script only
@@ -57,6 +59,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--toxicity-blocklist", default=None)
     p.add_argument("--toxicity-threshold", type=float, default=0.03)
     p.add_argument("--toxicity-mask", default="[TOXIC]")
+    # Image-metadata quality gate (opt-in; metadata-only, never reads bytes)
+    p.add_argument("--image-quality", action="store_true")
+    p.add_argument("--image-min-side", type=int, default=64)
+    p.add_argument("--image-max-aspect", type=float, default=4.0)
+    p.add_argument("--image-fmt-allow", default="png,jpeg")
     args = p.parse_args(argv)
 
     # Import AFTER spark-submit has placed --py-files on sys.path.
@@ -72,6 +79,18 @@ def main(argv: list[str] | None = None) -> None:
             blocklist=parse_blocklist(args.toxicity_blocklist),
             threshold=args.toxicity_threshold,
             mask=args.toxicity_mask,
+        )
+
+    image_quality = None
+    if args.image_quality:
+        from pii_redactor_spark.operators.vision import ImageQualityConfig
+
+        image_quality = ImageQualityConfig(
+            min_side=args.image_min_side,
+            max_aspect=args.image_max_aspect,
+            fmt_allow=tuple(
+                t.strip() for t in args.image_fmt_allow.split(",") if t.strip()
+            ),
         )
 
     spark = (
@@ -101,6 +120,7 @@ def main(argv: list[str] | None = None) -> None:
             preserve_format=not args.no_preserve_format,
         ),
         toxicity=toxicity,
+        image_quality=image_quality,
     )
     summary["mode"] = args.mode
     summary["rows"] = summary["n_in"]

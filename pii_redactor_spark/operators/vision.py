@@ -22,10 +22,12 @@ feature-extraction stages the brief calls for.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from ..fixtures.codecs import (
     decode_image,
@@ -197,3 +199,117 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         "video decode requires ffmpeg/av, not available in this environment; "
         "see module docstring for the pinned schema contract"
     )
+
+
+# --- image quality gate (metadata-only, JVM expressions) ---------------------
+
+IMAGE_QUALITY_FLAGS = (
+    "too_small", "extreme_aspect", "bad_format", "bytes_implausible",
+)
+
+
+@dataclass(frozen=True)
+class ImageQualityConfig:
+    """LAION/DataComp-style metadata gates for web-scraped image tables.
+
+    Every check below runs on the typed metadata columns ``(w, h, fmt)`` —
+    never on the pixels — so at 10^12 rows the gate is a column-pruned scan
+    of three narrow columns; the binary blob is untouched (the plan pin in
+    tests asserts ``bytes`` stays out of the read schema).  The optional
+    bytes-plausibility check is the one exception and is off by default:
+    it needs ``octet_length(bytes)``, i.e. a read of the binary column.
+    """
+
+    min_side: int = 64
+    max_aspect: float = 4.0
+    fmt_allow: tuple[str, ...] = ("png", "jpeg")
+    # encoded bytes per pixel outside [lo, hi] => corrupt or decompression
+    # bomb; None disables (the default — keeps the gate metadata-only)
+    bytes_per_pixel_bounds: tuple[float, float] | None = None
+
+
+DEFAULT_IMAGE_QUALITY = ImageQualityConfig()
+
+
+def image_quality_flags(
+    cfg: ImageQualityConfig = DEFAULT_IMAGE_QUALITY,
+) -> Column:
+    """``array<string>`` of failed gate names (empty array = clean image)."""
+    w, h = F.col("w"), F.col("h")
+    aspect = F.greatest(w, h) / F.least(w, h)
+    checks = [
+        ((F.least(w, h) < cfg.min_side), "too_small"),
+        ((aspect > cfg.max_aspect), "extreme_aspect"),
+        (~F.col("fmt").isin(*cfg.fmt_allow), "bad_format"),
+    ]
+    if cfg.bytes_per_pixel_bounds is not None:
+        lo, hi = cfg.bytes_per_pixel_bounds
+        bpp = F.octet_length("bytes") / (w * h)
+        checks.append(((bpp < lo) | (bpp > hi), "bytes_implausible"))
+    return F.array_compact(
+        F.array(*[
+            F.when(cond, F.lit(name)).otherwise(F.lit(None))
+            for cond, name in checks
+        ])
+    )
+
+
+def with_image_quality(
+    df: DataFrame,
+    cfg: ImageQualityConfig = DEFAULT_IMAGE_QUALITY,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Append ``image_flags`` and — when ``keep_col`` is given — AND
+    "no flags" into the existing keep/drop decision.  Pure projection."""
+    out = df.withColumn("image_flags", image_quality_flags(cfg))
+    if keep_col is not None:
+        out = out.withColumn(
+            keep_col, F.col(keep_col) & (F.size("image_flags") == 0)
+        )
+    return out
+
+
+# --- perceptual-hash near-dup (image analog of SimHash dedup) ----------------
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Candidate image pairs with hamming(phash) <= max_hamming.
+
+    The stored 64-bit perceptual hash is bit-positional exactly like a
+    SimHash, so this reuses the pigeonhole chunk-join from
+    :func:`..dedup.simhash_candidates` verbatim: (max_hamming + 1) chunk
+    equi-joins, exact ``bit_count`` filter only on collisions — never an
+    all-pairs comparison, and pixels are never decoded (the hash was
+    computed once at ingest).  Recall is exact: <= max_hamming differing
+    bits across (max_hamming + 1) disjoint chunks leaves >= 1 chunk equal.
+    """
+    from .dedup import simhash_candidates
+
+    sim = df.select(F.col(id_col), F.col(phash_col).alias("simhash"))
+    return simhash_candidates(sim, id_col=id_col, max_hamming=max_hamming)
+
+
+def dedupe_images_by_phash(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Drop perceptually-duplicate images: connected components over the
+    phash pair graph, keep the min-id representative per cluster (the image
+    analog of ``dedup.dedupe_near``).  Deterministic under any parallelism;
+    the LEFT ANTI join never moves the binary column through a shuffle —
+    only ids travel."""
+    from .dedup import connected_components
+
+    edges = phash_neardup_pairs(df, id_col, phash_col, max_hamming).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    comp = connected_components(edges, id_col=id_col)
+    losers = comp.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

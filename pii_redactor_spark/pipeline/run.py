@@ -28,9 +28,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..functions.toxicity import ToxicityConfig, with_toxicity
 from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
 from ..sources import storage
+
+if TYPE_CHECKING:  # runtime import stays lazy (vision pulls numpy/codecs)
+    from ..operators.vision import ImageQualityConfig
 
 DECISION_COLS = [
     "image_id", "phash_prefix", "lang", "lang_conf", "bits_per_char",
@@ -108,12 +113,27 @@ def apply_toxicity(scrubbed: DataFrame, toxicity: ToxicityConfig | None) -> Data
     )
 
 
+def apply_image_quality(
+    df: DataFrame, image_quality: "ImageQualityConfig | None"
+) -> DataFrame:
+    """Optional image-metadata gate (payload side of the quality filter):
+    flag too-small / extreme-aspect / off-format images from the typed
+    ``(w, h, fmt)`` columns and AND the result into ``keep``.  None (the
+    default) is a no-op.  Metadata-only — never reads ``bytes``."""
+    if image_quality is None:
+        return df
+    from ..operators.vision import with_image_quality
+
+    return with_image_quality(df, cfg=image_quality, keep_col="keep")
+
+
 def scrub_images(
     df: DataFrame,
     salt_partitions: int | None = None,
     seed: int = 42,
     cfg: ScrubConfig = DEFAULT_SCRUB,
     toxicity: ToxicityConfig | None = None,
+    image_quality: "ImageQualityConfig | None" = None,
 ) -> DataFrame:
     """Scrub transform: optional salted repartition, then the UDF stage.
 
@@ -128,6 +148,7 @@ def scrub_images(
             (F.rand(seed) * 16).cast("int"),
         )
     scrubbed = apply_toxicity(with_scrub(df, cfg=cfg), toxicity)
+    scrubbed = apply_image_quality(scrubbed, image_quality)
     return scrubbed.withColumn("n_entities", F.size("entities"))
 
 
@@ -137,6 +158,7 @@ def scrub_decisions(
     seed: int = 42,
     cfg: ScrubConfig = DEFAULT_SCRUB,
     toxicity: ToxicityConfig | None = None,
+    image_quality: "ImageQualityConfig | None" = None,
 ) -> DataFrame:
     """The at-scale form of the scrub job: decisions only, bytes untouched.
 
@@ -150,7 +172,10 @@ def scrub_decisions(
     the source table (or an Iceberg metadata-only row-delete); the pixels
     stay where they are.
     """
-    pruned = df.select("image_id", "phash_prefix", "caption")
+    # Image-quality gating widens the projection by three narrow int/str
+    # metadata columns — still no bytes, still fully column-pruned.
+    meta = [] if image_quality is None else ["w", "h", "fmt"]
+    pruned = df.select("image_id", "phash_prefix", "caption", *meta)
     if salt_partitions:
         pruned = pruned.repartition(
             salt_partitions,
@@ -158,7 +183,10 @@ def scrub_decisions(
             (F.rand(seed) * 16).cast("int"),
         )
     scrubbed = apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
+    scrubbed = apply_image_quality(scrubbed, image_quality)
     extra = [] if toxicity is None else ["n_toxic", "toxicity", "toxic_flag"]
+    if image_quality is not None:
+        extra = [*extra, "image_flags"]
     return scrubbed.withColumn("n_entities", F.size("entities")).select(
         *DECISION_COLS, "scrubbed", "scrubbed_simple", *extra
     )
@@ -177,6 +205,7 @@ def run_pipeline(
     anti_join_min_parts: int = ANTI_JOIN_MIN_PARTS,
     scrub_cfg: ScrubConfig = DEFAULT_SCRUB,
     toxicity: ToxicityConfig | None = None,
+    image_quality: "ImageQualityConfig | None" = None,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
@@ -208,7 +237,8 @@ def run_pipeline(
         part = src.where(F.col("phash_prefix").isin(group))
         if materialize_bytes:
             result = scrub_images(part, salt_partitions=salt_partitions,
-                                  cfg=scrub_cfg, toxicity=toxicity)
+                                  cfg=scrub_cfg, toxicity=toxicity,
+                                  image_quality=image_quality)
             out = (
                 result.withColumn("caption_raw", F.col("caption"))
                 .withColumn("caption", F.col("scrubbed"))
@@ -222,7 +252,8 @@ def run_pipeline(
             )
         else:
             result = scrub_decisions(part, salt_partitions=salt_partitions,
-                                     cfg=scrub_cfg, toxicity=toxicity)
+                                     cfg=scrub_cfg, toxicity=toxicity,
+                                     image_quality=image_quality)
             storage.write_partitioned(result, data_path, ["phash_prefix"])
 
         # Counters from the *written* data (column-pruned read; never re-runs
