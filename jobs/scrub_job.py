@@ -39,6 +39,12 @@ def parse_blocklist(spec: str) -> tuple[str, ...]:
         toks = [t for t in raw if t and not t.startswith("#")]
     else:
         toks = [t.strip() for t in spec.split(",") if t.strip()]
+    if not toks:
+        # isin() over zero tokens silently matches nothing — the stage would
+        # "run" while scoring, masking, and dropping nothing.  A blocklist
+        # that resolves empty is a misconfiguration (wrong file, all
+        # comments), not a request for a no-op.
+        raise ValueError(f"toxicity blocklist resolved empty: {spec!r}")
     return tuple(dict.fromkeys(toks))
 
 

@@ -31,6 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BLOCKLIST: tuple[str, ...] = ("slow", "dup", "junk")
+# The three score columns every toxicity-enabled output carries; batch
+# (pipeline.run) and streaming (streaming.scrub_stream) both reference this
+# so the decision schemas cannot drift apart.
+TOXICITY_COLS = ("n_toxic", "toxicity", "toxic_flag")
 TOXIC_MASK = "[TOXIC]"
 DEFAULT_TOXICITY_THRESHOLD = 0.03
 
@@ -144,7 +148,13 @@ def with_toxicity_joined(
         )
         .withColumn("toxic_flag", F.col("toxicity") >= F.lit(threshold))
     )
-    return df.join(scored, id_col, "left")
+    out = df.join(scored, id_col, "left")
+    # Rows with NULL text vanish at posexplode and come back all-NULL from
+    # the left join; the flag must stay total (same contract as
+    # with_toxicity, whose keep-gate consumers AND against it).
+    return out.withColumn(
+        "toxic_flag", F.coalesce("toxic_flag", F.lit(False))
+    )
 
 
 def with_toxicity(
@@ -168,7 +178,12 @@ def with_toxicity(
         {
             "n_toxic": toxic_hits(F.col(text_col), cfg.blocklist),
             "toxicity": score,
-            "toxic_flag": score >= F.lit(cfg.threshold),
+            # NULL text -> NULL score; the flag must stay total or the
+            # keep-gate AND below would poison keep to NULL (rows then
+            # vanish from both kept and dropped counters).
+            "toxic_flag": F.coalesce(
+                score >= F.lit(cfg.threshold), F.lit(False)
+            ),
         }
     )
     for c in mask_cols:

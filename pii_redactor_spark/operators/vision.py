@@ -204,7 +204,8 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 # --- image quality gate (metadata-only, JVM expressions) ---------------------
 
 IMAGE_QUALITY_FLAGS = (
-    "too_small", "extreme_aspect", "bad_format", "bytes_implausible",
+    "null_metadata", "too_small", "extreme_aspect", "bad_format",
+    "bytes_implausible",
 )
 
 
@@ -234,10 +235,17 @@ DEFAULT_IMAGE_QUALITY = ImageQualityConfig()
 def image_quality_flags(
     cfg: ImageQualityConfig = DEFAULT_IMAGE_QUALITY,
 ) -> Column:
-    """``array<string>`` of failed gate names (empty array = clean image)."""
+    """``array<string>`` of failed gate names (empty array = clean image).
+
+    NULL metadata gets its own flag: the size/aspect/format comparisons all
+    evaluate NULL on NULL inputs (which ``array_compact`` would strip,
+    silently passing exactly the malformed rows a web-scrape gate exists to
+    drop), so rows with any NULL in (w, h, fmt) are flagged explicitly.
+    """
     w, h = F.col("w"), F.col("h")
     aspect = F.greatest(w, h) / F.least(w, h)
     checks = [
+        (w.isNull() | h.isNull() | F.col("fmt").isNull(), "null_metadata"),
         ((F.least(w, h) < cfg.min_side), "too_small"),
         ((aspect > cfg.max_aspect), "extreme_aspect"),
         (~F.col("fmt").isin(*cfg.fmt_allow), "bad_format"),

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from typing import TYPE_CHECKING
 
-from ..functions.toxicity import ToxicityConfig, with_toxicity
+from ..functions.toxicity import TOXICITY_COLS, ToxicityConfig, with_toxicity
 from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
 from ..sources import storage
 
@@ -173,8 +173,16 @@ def scrub_decisions(
     stay where they are.
     """
     # Image-quality gating widens the projection by three narrow int/str
-    # metadata columns — still no bytes, still fully column-pruned.
-    meta = [] if image_quality is None else ["w", "h", "fmt"]
+    # metadata columns — still no bytes, still fully column-pruned.  The
+    # one exception is the opt-in bytes-plausibility check, which needs
+    # octet_length(bytes): the scan then reads the binary column (its
+    # documented cost), but DECISION_COLS still drops it from the output.
+    if image_quality is None:
+        meta = []
+    elif image_quality.bytes_per_pixel_bounds is not None:
+        meta = ["w", "h", "fmt", "bytes"]
+    else:
+        meta = ["w", "h", "fmt"]
     pruned = df.select("image_id", "phash_prefix", "caption", *meta)
     if salt_partitions:
         pruned = pruned.repartition(
@@ -184,7 +192,7 @@ def scrub_decisions(
         )
     scrubbed = apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
     scrubbed = apply_image_quality(scrubbed, image_quality)
-    extra = [] if toxicity is None else ["n_toxic", "toxicity", "toxic_flag"]
+    extra = [] if toxicity is None else list(TOXICITY_COLS)
     if image_quality is not None:
         extra = [*extra, "image_flags"]
     return scrubbed.withColumn("n_entities", F.size("entities")).select(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.toxicity import ToxicityConfig
+from ..functions.toxicity import TOXICITY_COLS, ToxicityConfig
 from ..operators.scrub import DEFAULT_SCRUB, ScrubConfig, with_scrub
 from ..pipeline.run import DECISION_COLS, apply_toxicity
 
@@ -57,7 +57,7 @@ def scrub_file_stream(
     # optional toxicity stage (score + mask + keep-gate) is the exact batch
     # code path — schemas stay in lockstep with scrub_decisions.
     scrubbed = apply_toxicity(with_scrub(pruned, cfg=cfg), toxicity)
-    extra = [] if toxicity is None else ["n_toxic", "toxicity", "toxic_flag"]
+    extra = [] if toxicity is None else list(TOXICITY_COLS)
     # Same projection as the batch decisions table (scrub_decisions) —
     # consumers written against one schema must work on both.
     return scrubbed.withColumn("n_entities", F.size("entities")).select(

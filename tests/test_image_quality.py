@@ -122,6 +122,8 @@ def test_phash_pairs_vs_bruteforce(spark):
             v ^= (1 << b)
             if v >= (1 << 63):
                 v -= 1 << 64
+            elif v < -(1 << 63):     # flipping bit 63 of a negative value
+                v += 1 << 64
         hashes[iid] = v
 
     df = spark.createDataFrame(
@@ -183,3 +185,41 @@ def test_pipeline_gate_end_to_end(spark, tmp_root):
     flagged = data.where(F.size("image_flags") > 0)
     assert flagged.count() > 0
     assert flagged.where(F.col("keep")).count() == 0
+
+
+def test_null_metadata_is_flagged(spark):
+    """NULL w/h/fmt must flag (and gate), not sail through as clean —
+    the comparisons all evaluate NULL and array_compact would strip them."""
+    df = spark.createDataFrame(
+        [("nw", None, 128, "png", True),
+         ("nf", 128, 128, None, True),
+         ("ok2", 128, 128, "png", True)],
+        "image_id string, w int, h int, fmt string, keep boolean",
+    )
+    out = {r["image_id"]: r for r in
+           with_image_quality(df, keep_col="keep").collect()}
+    assert "null_metadata" in out["nw"]["image_flags"]
+    assert "null_metadata" in out["nf"]["image_flags"]
+    assert out["nw"]["keep"] is False and out["nf"]["keep"] is False
+    assert out["ok2"]["image_flags"] == [] and out["ok2"]["keep"] is True
+
+
+def test_decisions_with_bytes_plausibility(spark, tmp_root):
+    """The opt-in bytes check must work on the decisions path: the scan
+    widens to the binary column (its documented cost) but the output still
+    drops it."""
+    from pii_redactor_spark.fixtures.captions import CaptionConfig
+    from pii_redactor_spark.fixtures.images import write_fixture_tables
+    from pii_redactor_spark.pipeline.run import scrub_decisions
+    from pii_redactor_spark.sources import storage
+
+    images_path, _ = write_fixture_tables(
+        spark, f"{tmp_root}/iq_bpp_fx", 32, CaptionConfig(), partitions=2
+    )
+    src = storage.read_table(spark, images_path)
+    cfg = ImageQualityConfig(min_side=8, bytes_per_pixel_bounds=(1e9, 1e10))
+    out = scrub_decisions(src, image_quality=cfg)
+    assert "bytes" not in out.columns
+    rows = out.select("image_flags", "keep").collect()   # must not raise
+    assert all("bytes_implausible" in r["image_flags"] for r in rows)
+    assert not any(r["keep"] for r in rows)

@@ -146,6 +146,12 @@ def test_parse_blocklist(tmp_root):
     with open(path, "w", encoding="utf-8") as f:
         f.write("# curated lexicon\nslow\n\ndup\nslow\n")
     assert parse_blocklist(f"@{path}") == ("slow", "dup")
+    empty = f"{tmp_root}/empty_lex.txt"
+    with open(empty, "w", encoding="utf-8") as f:
+        f.write("# only comments\n\n")
+    for bad in (",", " , ", f"@{empty}"):
+        with pytest.raises(ValueError):
+            parse_blocklist(bad)
 
 
 def test_streaming_scrub_carries_toxicity(spark, tmp_root):
@@ -224,3 +230,31 @@ def test_pipeline_decisions_carry_toxicity(spark, tmp_root):
     # masked outputs contain the mask wherever the raw caption had the token
     masked = out.where(F.col("n_toxic") > 0).select("scrubbed").first()
     assert "[TOXIC]" in masked["scrubbed"]
+
+
+def test_null_text_does_not_poison_keep(spark):
+    """NULL text must not NULL-out the keep decision through the gate AND
+    (rows would vanish from both kept and dropped counters)."""
+    df = spark.createDataFrame(
+        [("n1", None, True), ("n2", "slow slow", True)],
+        "doc_id string, text string, keep boolean",
+    )
+    rows = {r["doc_id"]: r for r in
+            with_toxicity(df, "text", keep_col="keep").collect()}
+    assert rows["n1"]["toxic_flag"] is False
+    assert rows["n1"]["keep"] is True          # unchanged, not NULL
+    assert rows["n2"]["keep"] is False
+
+
+def test_joined_path_null_text_flag_total(spark):
+    from pii_redactor_spark.functions.toxicity import with_toxicity_joined
+
+    df = spark.createDataFrame(
+        [("n1", None), ("n2", "slow ok")], "doc_id string, text string"
+    )
+    lex = spark.createDataFrame([("slow",)], "token string")
+    rows = {r["doc_id"]: r for r in
+            with_toxicity_joined(df, "text", lex, "doc_id").collect()}
+    assert rows["n1"]["toxic_flag"] is False      # total, not NULL
+    assert rows["n1"]["n_toxic"] is None          # no tokens scored
+    assert rows["n2"]["toxic_flag"] is True
