@@ -1105,6 +1105,27 @@ def q_doc_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_toxicity_joined(spark: SparkSession, sf: str) -> DataFrame:
+    """The broadcast-join toxicity scale path, hash-checked at oracle scale:
+    same outputs as doc_toxicity_scrub but computed via posexplode +
+    broadcast lexicon join + order-preserving rebuild
+    (functions.toxicity.with_toxicity_joined) instead of per-token isin.
+    Proves the 10^5-phrase-lexicon path byte-agrees with the expression
+    path's oracle."""
+    from pii_redactor_spark.functions.toxicity import with_toxicity_joined
+
+    docs = _t(spark, sf, "documents")
+    lex = spark.createDataFrame(
+        [("slow",), ("dup",), ("junk",)], "token string"
+    )
+    return with_toxicity_joined(docs, "text", lex, "doc_id").select(
+        "doc_id",
+        F.col("n_toxic").cast("int").alias("n_toxic"),
+        F.round("toxicity", 4).alias("toxicity"),
+        "masked",
+    )
+
+
 def q_doc_toxicity_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Toxicity keep/drop gate per language: mean blocklisted-token fraction
     and how many docs exceed the drop threshold (C4/Gopher-style word-list
@@ -1454,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_entropy": q_doc_unigram_entropy,
         "doc_stopword_coverage": q_doc_stopword_coverage,
         "doc_toxicity_scrub": q_doc_toxicity_scrub,
+        "doc_toxicity_joined": q_doc_toxicity_joined,
         "doc_toxicity_filter": q_doc_toxicity_filter,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_topk": q_embedding_topk,
@@ -1612,6 +1634,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(ttr), 4) AS avg_ttr,
                    COUNT(*) AS n_docs
             FROM per_doc GROUP BY lang
+        """,
+        "doc_toxicity_joined": """
+            -- same oracle as doc_toxicity_scrub: the joined path must agree
+            SELECT doc_id,
+                   CAST(LEN(LIST_FILTER(string_split(text, ' '),
+                       t -> t IN ('slow', 'dup', 'junk'))) AS INT)
+                       AS n_toxic,
+                   ROUND(LEN(LIST_FILTER(string_split(text, ' '),
+                             t -> t IN ('slow', 'dup', 'junk'))) * 1.0
+                         / LEN(string_split(text, ' ')), 4) AS toxicity,
+                   ARRAY_TO_STRING(
+                       LIST_TRANSFORM(string_split(text, ' '),
+                           t -> CASE WHEN t IN ('slow', 'dup', 'junk')
+                                THEN '[TOXIC]' ELSE t END),
+                       ' ') AS masked
+            FROM documents
         """,
         "doc_toxicity_scrub": """
             SELECT doc_id,
