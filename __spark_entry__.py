@@ -387,6 +387,67 @@ def q_events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analysis (signup -> view -> click -> purchase): per-user min
+    timestamp per stage via conditional aggregation, then count users whose
+    stage times are strictly increasing.  One hash agg keyed on user_id
+    (partial-combined before the shuffle) + a 4-counter global agg — the
+    canonical two-phase funnel that holds at any user count; no window, no
+    self-join per stage."""
+    ev = _t(spark, sf, "events")
+
+    def stage_min(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        stage_min("signup").alias("t_signup"),
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.sum(s1.cast("int")).alias("n_signup"),
+        F.sum(s2.cast("int")).alias("n_view_after"),
+        F.sum(s3.cast("int")).alias("n_click_after"),
+        F.sum(s4.cast("int")).alias("n_purchase_after"),
+    )
+
+
+def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users bucketed by the ISO week of their first event,
+    counted as active in each later week.  first-seen agg keyed on user_id,
+    then a shuffle equi-join back on user_id (the honest shape when the user
+    dimension is itself huge — AQE may broadcast it when small), then one
+    countDistinct agg.  week_offset is exact integer arithmetic (both weeks
+    are Monday-truncated, so the day diff is a multiple of 7)."""
+    ev = _t(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    joined = ev.join(first, "user_id")
+    offset = (
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.col("cohort_week"),
+        )
+        / 7
+    ).cast("int")
+    return (
+        joined.select("cohort_week", offset.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active_users",
+        )
+    )
+
+
 def q_part_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """part + supplier joins (the two remaining testdata tables): revenue by
     part brand and supplier nation, dims broadcast."""
@@ -506,6 +567,76 @@ def q_events_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 2))
     )
     return pivoted
+
+
+def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): among STANDARD parts sold to
+    EUROPE-region customers in 1996-1997, the revenue fraction supplied by
+    each supplier nation, per order year.  The p_type filter is pushed to the
+    part scan and every dimension (part, supplier, customer, nation, region)
+    is broadcast; the only shuffles are the lineitem<->orders equi-join on
+    orderkey and the final small agg.  The share denominator is a window sum
+    over (year) — a handful of rows after aggregation, not a second scan."""
+    part = F.broadcast(
+        _t(spark, sf, "part").where(F.col("p_type") == "STANDARD")
+    )
+    supp = F.broadcast(_t(spark, sf, "supplier"))
+    cust = F.broadcast(_t(spark, sf, "customer"))
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    cust_region = F.broadcast(
+        cust.join(
+            nation.withColumnRenamed("n_nationkey", "cn_key"),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        supp.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = _t(spark, sf, "lineitem")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+        .groupBy("o_year", "supp_nation")
+        .agg(F.sum("volume").alias("nation_volume"))
+    )
+    w = Window.partitionBy("o_year")
+    rounded = rev.select(
+        "o_year",
+        "supp_nation",
+        F.round("nation_volume", 2).alias("nation_volume"),
+    )
+    return rounded.select(
+        "o_year",
+        "supp_nation",
+        "nation_volume",
+        F.round(
+            F.col("nation_volume") / F.sum("nation_volume").over(w), 4
+        ).alias("mkt_share"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1084,6 +1215,80 @@ def q_doc_stopword_coverage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document most-distinctive term by TF-IDF with a *linear* inverse
+    document frequency (score = (c/n) * (N/df)).  The linear idf is chosen
+    deliberately: it keeps the score a chain of IEEE-754 divisions and one
+    multiply, which are correctly rounded and therefore bit-identical across
+    engines — a log() idf would expose libm ULP differences to the top-1
+    ordering.  Plan: one explode + (doc, token) hash agg; doc length via a
+    doc-bounded window; document frequency via a groupBy + equi-join keyed
+    on token (not a token-partitioned window, so AQE skew-join can split a
+    hot token's rows); top-1 via row_number over the doc partition with a
+    lexical tiebreak."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n_per_doc = F.sum("c").over(Window.partitionBy("doc_id"))
+    df_t = cnt.groupBy("tok").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        cnt.withColumn("n", n_per_doc)
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("c") / F.col("n"))
+                * (F.col("n_docs") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_tok"),
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+# Hex prefix set for the deterministic 25% corpus sample (4 of 16 buckets).
+SAMPLE_BUCKETS = ["0", "1", "2", "3"]
+
+
+def q_doc_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash sampling after canonical text
+    normalization — the reproducible alternative to rand()-based sampling
+    for corpus ablations: normalize (trim, whitespace-collapse, casefold),
+    md5 the normalized text, and keep documents whose first hex digit falls
+    in a fixed bucket set (25%).  Wholly narrow (projection + filter, no
+    shuffle, no nondeterminism) and stable under re-partitioning, resume,
+    and engine swap — the property a seeded rand() sample does not have."""
+    docs = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    bucket = F.substring(F.md5(norm), 1, 1)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            F.length(norm).alias("norm_len"),
+        )
+        .where(F.col("bucket").isin(SAMPLE_BUCKETS))
+    )
+
+
 def q_doc_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """Word-list toxicity scrub (north rule: "PII/toxicity-scrub"): per-doc
     blocklist hit count, token-fraction score, and the masked text with
@@ -1447,7 +1652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_session_windows": q_events_session_windows,
+        "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
         "part_supplier_revenue": q_part_supplier_revenue,
+        "nation_market_share": q_nation_market_share,
         "customer_order_distribution": q_customer_order_distribution,
         "small_qty_order_revenue": q_small_qty_order_revenue,
         "large_volume_customers": q_large_volume_customers,
@@ -1474,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_zipf": q_corpus_token_zipf,
         "doc_unigram_entropy": q_doc_unigram_entropy,
         "doc_stopword_coverage": q_doc_stopword_coverage,
+        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_hash_sample": q_doc_hash_sample,
         "doc_toxicity_scrub": q_doc_toxicity_scrub,
         "doc_toxicity_joined": q_doc_toxicity_joined,
         "doc_toxicity_filter": q_doc_toxicity_filter,
@@ -1694,6 +1904,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY lang
         """,
+        "doc_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM toks GROUP BY doc_id, tok
+            ), weighted AS (
+                SELECT doc_id, tok, c,
+                       SUM(c) OVER (PARTITION BY doc_id) AS n,
+                       COUNT(*) OVER (PARTITION BY tok) AS df
+                FROM cnt
+            ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, tok,
+                       (c * 1.0 / n) * (n_docs * 1.0 / df) AS score
+                FROM weighted, nd
+            )
+            SELECT doc_id, tok AS top_tok, ROUND(score, 4) AS tfidf
+            FROM (
+                SELECT doc_id, tok, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, tok) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        """,
+        "doc_hash_sample": """
+            WITH normd AS (
+                SELECT doc_id, lang,
+                       LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   SUBSTRING(MD5(norm), 1, 1) AS bucket,
+                   CAST(LENGTH(norm) AS INT) AS norm_len
+            FROM normd
+            WHERE SUBSTRING(MD5(norm), 1, 1) IN ('0', '1', '2', '3')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1908,6 +2157,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS session_value
             FROM sess GROUP BY user_id, session_no
         """,
+        "events_funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                           AS t_signup,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                           AS t_view,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END)
+                           AS t_click,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(SUM(CASE WHEN t_signup IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN t_view > t_signup
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_view_after,
+                   CAST(SUM(CASE WHEN t_view > t_signup
+                                  AND t_click > t_view
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_click_after,
+                   CAST(SUM(CASE WHEN t_view > t_signup
+                                  AND t_click > t_view
+                                  AND t_purchase > t_click
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchase_after
+            FROM per_user
+        """,
+        "events_cohort_retention": """
+            WITH first_seen AS (
+                SELECT user_id,
+                       CAST(DATE_TRUNC('week', MIN(ts)) AS DATE)
+                           AS cohort_week
+                FROM events GROUP BY user_id
+            )
+            SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort_week,
+                   CAST(DATE_DIFF('day', cohort_week,
+                                  CAST(DATE_TRUNC('week', ts) AS DATE)) / 7
+                        AS INT) AS week_offset,
+                   COUNT(DISTINCT user_id) AS n_active_users
+            FROM events JOIN first_seen USING (user_id)
+            GROUP BY 1, week_offset
+        """,
         "part_supplier_revenue": """
             SELECT p_brand, n_name,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1916,6 +2209,32 @@ def oracle_sql() -> dict[str, str]:
                           JOIN supplier ON l_suppkey = s_suppkey
                           JOIN nation ON s_nationkey = n_nationkey
             GROUP BY p_brand, n_name
+        """,
+        "nation_market_share": """
+            WITH rev AS (
+                SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                       n2.n_name AS supp_nation,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS nation_volume
+                FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                           AND p_type = 'STANDARD'
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region ON n1.n_regionkey = r_regionkey
+                            AND r_name = 'EUROPE'
+                WHERE o_orderdate BETWEEN DATE '1996-01-01'
+                                      AND DATE '1997-12-31'
+                GROUP BY 1, 2
+            )
+            SELECT o_year, supp_nation, nation_volume,
+                   ROUND(nation_volume /
+                         SUM(nation_volume) OVER (PARTITION BY o_year), 4)
+                       AS mkt_share
+            FROM rev
         """,
         "doc_lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,
