@@ -569,6 +569,28 @@ def q_events_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
     return pivoted
 
 
+def q_events_props_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured JSON payload processing (web-scale event logs carry
+    JSON string columns): parse props with an EXPLICIT struct schema —
+    `from_json(props, 'k INT')`, never schema inference, which would cost a
+    second full scan at 10^12 rows — extract the numeric field, and
+    aggregate per event type.  JsonToStructs is a narrow JVM projection
+    inside whole-stage codegen; the only shuffle is the final 5-group hash
+    agg, fully partial-combined."""
+    ev = _t(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("total_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum((F.col("k") > 50).cast("int")).alias("n_k_gt_50"),
+        )
+    )
+
+
 def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): among STANDARD parts sold to
     EUROPE-region customers in 1996-1997, the revenue fraction supplied by
@@ -1225,7 +1247,11 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     doc-bounded window; document frequency via a groupBy + equi-join keyed
     on token (not a token-partitioned window, so AQE skew-join can split a
     hot token's rows); top-1 via row_number over the doc partition with a
-    lexical tiebreak."""
+    lexical tiebreak (Spark plans it as WindowGroupLimit — per-partition
+    top-1, no full sort).  The (doc, token) count subtree appears twice in
+    the static plan (window-n side and df side) but AQE reuses the shuffle
+    at runtime (one ReusedExchange in the executed plan), so the explode
+    and first agg run once."""
     from pii_redactor_spark.operators.scrub import parallelize_for_udf
 
     docs = parallelize_for_udf(_t(spark, sf, "documents"))
@@ -1656,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": q_events_cohort_retention,
         "part_supplier_revenue": q_part_supplier_revenue,
         "nation_market_share": q_nation_market_share,
+        "events_props_json": q_events_props_json,
         "customer_order_distribution": q_customer_order_distribution,
         "small_qty_order_revenue": q_small_qty_order_revenue,
         "large_volume_customers": q_large_volume_customers,
@@ -2209,6 +2236,20 @@ def oracle_sql() -> dict[str, str]:
                           JOIN supplier ON l_suppkey = s_suppkey
                           JOIN nation ON s_nationkey = n_nationkey
             GROUP BY p_brand, n_name
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS total_k,
+                   ROUND(AVG(k), 4) AS avg_k,
+                   CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_k_gt_50
+            FROM (
+                SELECT event_type,
+                       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+                FROM events
+            )
+            GROUP BY event_type
         """,
         "nation_market_share": """
             WITH rev AS (
