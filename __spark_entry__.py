@@ -2238,6 +2238,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand, n_name
         """,
         "events_props_json": """
+            -- mirrors Spark from_json(props, 'k INT') type strictness:
+            -- NULL unless props is valid JSON whose $.k is an in-range
+            -- integer (a quoted "42", a 1.5, or malformed JSON must all
+            -- yield NULL, not a coerced value or an oracle-side error)
             SELECT event_type,
                    COUNT(*) AS n_events,
                    CAST(SUM(k) AS BIGINT) AS total_k,
@@ -2246,7 +2250,12 @@ def oracle_sql() -> dict[str, str]:
                        AS n_k_gt_50
             FROM (
                 SELECT event_type,
-                       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+                       CASE WHEN JSON_VALID(props)
+                             AND JSON_TYPE(props, '$.k')
+                                 IN ('BIGINT', 'UBIGINT')
+                            THEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                                          AS INT)
+                       END AS k
                 FROM events
             )
             GROUP BY event_type

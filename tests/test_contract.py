@@ -97,3 +97,40 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert "scrubbed" in df.columns
     assert rows
+
+
+def test_props_json_oracle_edge_semantics(spark, ddb):
+    """The events_props_json oracle mirrors from_json(props, 'k INT') type
+    strictness OFF the fixture's happy path: quoted numbers, non-integer
+    numerics, malformed JSON, out-of-INT-range values, and NULL must all
+    yield NULL on both sides (and never abort the oracle query)."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        '{"k": 69}', '{"k": "42"}', '{"k": 1.5}', '{"k": -3}',
+        'not json', '{"k": 99999999999}', None,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "props string")
+    got_spark = [
+        r.k
+        for r in sdf.select(
+            F.from_json("props", "k INT").getField("k").alias("k")
+        ).collect()
+    ]
+    ddb_expr = """
+        SELECT CASE WHEN JSON_VALID(props)
+                     AND JSON_TYPE(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                    THEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)
+               END AS k
+        FROM probe ORDER BY rowid
+    """
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE probe (props VARCHAR)"
+    )
+    con.executemany("INSERT INTO probe VALUES (?)", [(v,) for v in vals])
+    got_ddb = [
+        None if row[0] is None or (isinstance(row[0], float) and math.isnan(row[0])) else int(row[0])
+        for row in con.sql(ddb_expr).fetchall()
+    ]
+    assert got_spark == got_ddb == [69, None, None, -3, None, None, None]
