@@ -191,6 +191,41 @@ def q_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_revenue_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus) with grouping_id
+    disambiguating real NULL groups from subtotal rows — the full
+    2^k-subtotal companion to q_revenue_rollup's hierarchy.  Spark expands
+    the cube with a single Expand + one hash agg (partial-combined); no
+    per-grouping-set rescan."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def q_events_value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates per event type: sample stddev of value, and
+    sample covariance / Pearson correlation between the event value and the
+    JSON payload field — the distribution-shape surface (the reference's
+    perf stats report mean/median/std; this adds the second-moment pair
+    forms).  Single hash agg; corr/covar use single-pass co-moment updates
+    so the shuffle carries constant-size state per group."""
+    ev = _t(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k").cast("double")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.stddev_samp("value"), 4).alias("value_std"),
+            F.round(F.covar_samp("value", "k"), 4).alias("value_k_covar"),
+            F.round(F.corr("value", "k"), 4).alias("value_k_corr"),
+        )
+    )
+
+
 def q_quantity_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """CASE/bucketing scalar logic + agg."""
     li = _t(spark, sf, "lineitem")
@@ -1683,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_revenue": q_part_supplier_revenue,
         "nation_market_share": q_nation_market_share,
         "events_props_json": q_events_props_json,
+        "revenue_cube": q_revenue_cube,
+        "events_value_stats": q_events_value_stats,
         "customer_order_distribution": q_customer_order_distribution,
         "small_qty_order_revenue": q_small_qty_order_revenue,
         "large_volume_customers": q_large_volume_customers,
@@ -2236,6 +2273,33 @@ def oracle_sql() -> dict[str, str]:
                           JOIN supplier ON l_suppkey = s_suppkey
                           JOIN nation ON s_nationkey = n_nationkey
             GROUP BY p_brand, n_name
+        """,
+        "revenue_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_extendedprice), 2) AS revenue,
+                   COUNT(*) AS n_items,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "events_value_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(STDDEV_SAMP(value), 4) AS value_std,
+                   ROUND(COVAR_SAMP(value, k), 4) AS value_k_covar,
+                   ROUND(CORR(value, k), 4) AS value_k_corr
+            FROM (
+                SELECT event_type, value,
+                       CAST(CASE WHEN JSON_VALID(props)
+                                  AND JSON_TYPE(props, '$.k')
+                                      IN ('BIGINT', 'UBIGINT')
+                                 THEN TRY_CAST(
+                                     JSON_EXTRACT_STRING(props, '$.k')
+                                     AS INT)
+                            END AS DOUBLE) AS k
+                FROM events
+            )
+            GROUP BY event_type
         """,
         "events_props_json": """
             -- mirrors Spark from_json(props, 'k INT') type strictness:
