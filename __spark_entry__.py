@@ -191,6 +191,52 @@ def q_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution shape): distinct part
+    names, blocked on the first token, candidate pairs generated by a
+    block equi-join (never all-pairs), verified by edit distance ≤ 3.
+    The block key bounds the join fan-out the same way the dedup module's
+    max_df cap bounds posting lists — a production run over open-ended
+    names would add a block-frequency cap + a second blocking pass
+    (e.g. last token) for recall.  levenshtein runs JVM-side on the
+    already-blocked candidates only."""
+    names = _t(spark, sf, "part").select("p_name").distinct()
+    blk = F.split("p_name", " ").getItem(0)
+    a = names.select(F.col("p_name").alias("name_a"), blk.alias("blk"))
+    b = names.select(F.col("p_name").alias("name_b"), blk.alias("blk"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .where(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 customers by total spend, banded with ntile + percent_rank.
+    The global top-k is TakeOrderedAndProject (per-partition heaps, no
+    global sort); the ranking window then runs over the driver-bounded
+    100-row frame, so the empty-partitionBy window is O(k) — the same
+    pattern as q_corpus_token_zipf, never a whole-table single-partition
+    window.  Ordering ranks the ROUNDED spend (with custkey tiebreak) so
+    cross-engine double-summation noise cannot reorder near-equal rows."""
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    top = spend.orderBy(F.col("spend").desc(), "o_custkey").limit(100)
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    return top.select(
+        "o_custkey",
+        "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def q_revenue_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE grouping sets over (returnflag, linestatus) with grouping_id
     disambiguating real NULL groups from subtotal rows — the full
@@ -1720,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": q_events_props_json,
         "revenue_cube": q_revenue_cube,
         "events_value_stats": q_events_value_stats,
+        "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
+        "customer_spend_deciles": q_customer_spend_deciles,
         "customer_order_distribution": q_customer_order_distribution,
         "small_qty_order_revenue": q_small_qty_order_revenue,
         "large_volume_customers": q_large_volume_customers,
@@ -2273,6 +2321,34 @@ def oracle_sql() -> dict[str, str]:
                           JOIN supplier ON l_suppkey = s_suppkey
                           JOIN nation ON s_nationkey = n_nationkey
             GROUP BY p_brand, n_name
+        """,
+        "part_name_fuzzy_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            blocked AS (
+                SELECT p_name, STRING_SPLIT(p_name, ' ')[1] AS blk
+                FROM names
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS dist
+            FROM blocked a JOIN blocked b
+              ON a.blk = b.blk AND a.p_name < b.p_name
+            WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
+        """,
+        "customer_spend_deciles": """
+            WITH spend AS (
+                SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+                FROM orders GROUP BY o_custkey
+            ), top AS (
+                SELECT o_custkey, spend FROM spend
+                ORDER BY spend DESC, o_custkey LIMIT 100
+            )
+            SELECT o_custkey, spend,
+                   NTILE(10) OVER (ORDER BY spend DESC, o_custkey)
+                       AS decile,
+                   ROUND(PERCENT_RANK() OVER
+                             (ORDER BY spend DESC, o_custkey), 6)
+                       AS pct_rank
+            FROM top
         """,
         "revenue_cube": """
             SELECT l_returnflag, l_linestatus,
