@@ -5,12 +5,17 @@ that the stateless scrub stream (``scrub_stream.py``) doesn't cover:
 
 * **Stream-static broadcast enrichment** — per-language policy rows, a
   toxicity lexicon, or any slowly-changing dimension joined onto the
-  stream.  Spark re-evaluates the static side per micro-batch (so a
-  refreshed dimension table is picked up on the next trigger) and the
-  broadcast hint keeps the join shuffle-free: each task holds the dim in
-  memory, the unbounded stream side never moves.  At 10^12 rows that is
-  the only viable shape — shuffling the stream side on a dim key would
-  re-partition the firehose every trigger.
+  stream.  Spark re-executes the static side's plan per micro-batch, but
+  for a parquet-backed frame the FILE LISTING is resolved once at
+  DataFrame creation — new dim files are NOT picked up, and overwriting
+  them can fail the stream mid-run.  To refresh the dimension, rebuild
+  the dim DataFrame and restart the query (or re-read it per batch
+  inside foreachBatch; snapshot-aware sources like the storage module's
+  manifest reader make that cheap).  The broadcast hint keeps the join
+  shuffle-free: each task holds the dim in memory, the unbounded stream
+  side never moves.  At 10^12 rows that is the only viable shape —
+  shuffling the stream side on a dim key would re-partition the firehose
+  every trigger.
 
 * **Watermarked stream-stream equi-join** — two event streams (e.g. the
   caption-scrub decisions and a separately-ingested image-quality feed)
@@ -37,11 +42,14 @@ def enrich_with_static(
     on: str | list[str],
     how: str = "left",
 ) -> DataFrame:
-    """Join a streaming frame to a static dimension, broadcast, per batch.
+    """Join a streaming frame to a static dimension, broadcast.
 
-    ``dim_df`` must be a batch (non-streaming) DataFrame; Spark snapshots
-    it per micro-batch.  The broadcast hint pins the shuffle-free plan —
-    the stream side is never repartitioned.
+    ``dim_df`` must be a batch (non-streaming) DataFrame.  Its plan is
+    re-executed per micro-batch, but a parquet-backed dim pins its file
+    listing at creation — to pick up a refreshed dimension, rebuild the
+    DataFrame and restart the query (see module docstring).  The
+    broadcast hint pins the shuffle-free plan — the stream side is never
+    repartitioned.
     """
     if dim_df.isStreaming:
         raise ValueError("dim_df must be a static DataFrame")

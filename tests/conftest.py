@@ -16,6 +16,28 @@ def spark():
     s.stop()
 
 
+def drain_available_now(stream_df, out_dir, ckpt, timeout_s=300):
+    """Write a streaming frame to parquet with Trigger.AvailableNow and
+    block until it terminates.  Asserts the query actually finished —
+    ``awaitTermination(timeout)`` returns False on timeout, and silently
+    reading partial output while the query still holds the checkpoint is
+    exactly the confusing-failure mode this helper exists to prevent."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        assert finished, f"streaming query did not finish in {timeout_s}s"
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 @pytest.fixture(scope="session")
 def tmp_root():
     os.makedirs("/root/repo/.cache", exist_ok=True)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import drain_available_now
 from pii_redactor_spark.streaming.dedup_stream import dedup_stream
 
 SCHEMA = "image_id string, caption string"
@@ -12,16 +13,7 @@ SCHEMA = "image_id string, caption string"
 
 def _run(spark, src_dir, out_dir, ckpt):
     stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
-    q = (
-        dedup_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    drain_available_now(dedup_stream(stream), out_dir, ckpt)
 
 
 def test_streaming_dedup_across_batches(spark, tmp_root):

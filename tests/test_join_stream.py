@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import drain_available_now
 from pii_redactor_spark.streaming.join_stream import (
     enrich_with_static,
     join_event_streams,
@@ -15,15 +16,7 @@ RIGHT_SCHEMA = "image_id string, ts timestamp, quality double"
 
 
 def _drain(df, out_dir, ckpt):
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    drain_available_now(df, out_dir, ckpt)
 
 
 def test_stream_static_enrichment_matches_batch_and_broadcasts(

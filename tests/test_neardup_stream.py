@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from conftest import drain_available_now
 from pii_redactor_spark.streaming.neardup_stream import neardup_match_stream
 
 SCHEMA = "image_id string, caption string"
@@ -14,16 +15,7 @@ BASE = (
 
 def _run(spark, src_dir, out_dir, ckpt):
     stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
-    q = (
-        neardup_match_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    drain_available_now(neardup_match_stream(stream), out_dir, ckpt)
 
 
 def test_streaming_neardup_matches_across_batches(spark, tmp_root):

@@ -40,7 +40,7 @@ def test_stream_drains_then_extends_without_duplicates(spark, stream_dirs):
     ckpt = f"{base}/ckpt"
 
     q = start_scrub_stream(spark, input_dir, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("image_id").distinct().count() == 200
@@ -58,7 +58,7 @@ def test_stream_drains_then_extends_without_duplicates(spark, stream_dirs):
 
     # restart from the same checkpoint: only the new files are processed
     q2 = start_scrub_stream(spark, input_dir, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300)
     got2 = spark.read.parquet(out)
     assert got2.count() == 300
     dupes = (

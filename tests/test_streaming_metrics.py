@@ -5,6 +5,8 @@ from __future__ import annotations
 import datetime
 
 import pytest
+
+from conftest import drain_available_now
 from pyspark.sql import functions as F
 
 from pii_redactor_spark.streaming.metrics_stream import windowed_decision_metrics
@@ -46,16 +48,9 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_root):
         stream = (
             spark.readStream.schema(batch1.schema).parquet(src_dir)
         )
-        q = (
-            windowed_decision_metrics(stream)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        drain_available_now(
+            windowed_decision_metrics(stream), out_dir, ckpt
         )
-        q.awaitTermination(300)
 
     run_available()
     # append mode only emits finalized windows (older than watermark):
