@@ -77,6 +77,7 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     by_length = _scrub_by_length_bucket(spark)
+    image_decode = _image_decode_bench(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -89,6 +90,8 @@ def main() -> None:
         "scrub_by_length": by_length,
         "cpus": CPUS,
     }
+    if image_decode is not None:
+        out["image_decode"] = image_decode
     prev = _previous_round_timings()
     if prev:
         out["prev_delta"] = {
@@ -160,6 +163,46 @@ def _scrub_by_length_bucket(spark) -> dict[str, dict]:
         }
     docs.unpersist()
     return out
+
+
+def _image_decode_bench(spark) -> dict | None:
+    """Pixel-path throughput — the image-axis companion to
+    scrub_by_length: decode_stats (mapInPandas over the binary column,
+    bytes never on the driver) over a cached deterministic PNG fixture
+    table.  The fixture is generated once under .cache and reused across
+    rounds; generation time is excluded from the measurement.  Returns
+    None (and omits the field) if anything fails — the headline bench
+    must never die on the image leg."""
+    try:
+        from pii_redactor_spark.fixtures.images import (
+            CaptionConfig,
+            write_fixture_tables,
+        )
+        from pii_redactor_spark.operators.vision import decode_stats
+
+        rows = int(os.environ.get("BENCH_IMAGE_ROWS", "20000"))
+        fx = f"/root/repo/.cache/bench_img_{rows}"
+        images_path = f"{fx}/images"
+        try:
+            n = spark.read.parquet(images_path).count()
+            assert n == rows
+        except Exception:
+            write_fixture_tables(spark, fx, rows, CaptionConfig())
+        imgs = spark.read.parquet(images_path).select(
+            "image_id", "bytes", "fmt", "phash"
+        )
+        # warm the python workers on a slice so the timing is steady-state
+        force(decode_stats(imgs.limit(512)))
+        t0 = time.perf_counter()
+        force(decode_stats(imgs).select("image_id"))
+        dt = time.perf_counter() - t0
+        return {
+            "n_images": rows,
+            "sec": round(dt, 3),
+            "images_per_sec": round(rows / dt, 1),
+        }
+    except Exception:
+        return None
 
 
 def _previous_round_timings() -> dict[str, float]:

@@ -17,6 +17,7 @@ def test_bench_emits_one_json_line():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        BENCH_IMAGE_ROWS="2000",
     )
     proc = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"],
@@ -30,3 +31,6 @@ def test_bench_emits_one_json_line():
     assert out["value"] > 0
     assert set(out["queries"]) >= {"doc_scrub", "pricing_summary"}
     assert all(v >= 0 for v in out["queries"].values())
+    # the image-axis leg must be present and sane (pixel decode path)
+    assert out["image_decode"]["n_images"] == 2000
+    assert out["image_decode"]["images_per_sec"] > 0
