@@ -24,8 +24,21 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read a table; ``merge_schema=True`` enables Iceberg-style schema
+    evolution on the parquet stand-in: files written before a column was
+    added are read with that column NULL, and the unified schema is the
+    union across file footers.  Off by default because schema merging
+    reads every footer at planning time — at 10^6 files that is a real
+    planning cost, so callers opt in per read (Iceberg proper keeps the
+    schema in table metadata and avoids the scan; the manifest module
+    plays that role here for snapshots, not schemas)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def write_partitioned(

@@ -411,3 +411,30 @@ def test_rollback_pre_upgrade_manifest_never_reuses_ids(tmp_root):
     ids = [s["snapshot_id"] for s in m["snapshots"]]
     assert ids == [1, 4], ids  # 2 and 3 are never reused
     assert read_manifest(path)["last_snapshot_id"] == 4
+
+
+def test_schema_evolution_merge_read(spark, tmp_root):
+    """Iceberg-style schema evolution on the storage stand-in: a column
+    added by later writers is visible through merge_schema=True with NULLs
+    for pre-evolution rows, and old snapshots of the data keep reading."""
+    from pii_redactor_spark.sources.storage import append_table, read_table
+
+    path = f"{tmp_root}/evolve_tbl"
+    v1 = spark.createDataFrame(
+        [("a", "cap-a"), ("b", "cap-b")], "image_id string, caption string"
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(path)
+    v2 = spark.createDataFrame(
+        [("c", "cap-c", 0.9)],
+        "image_id string, caption string, quality double",
+    )
+    append_table(v2.coalesce(1), path)
+
+    merged = read_table(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"image_id", "caption", "quality"}
+    got = {
+        (r["image_id"], r["quality"]) for r in merged.collect()
+    }
+    assert got == {("a", None), ("b", None), ("c", 0.9)}
+    # evolution must not break un-merged reads of the same table
+    assert read_table(spark, path).count() == 3
