@@ -1396,6 +1396,33 @@ def q_doc_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_ablation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Operator COMPOSITION: the standard corpus-ablation flow as one
+    query — deterministic 50% md5-bucket sample (reproducible across
+    engines/repartitions, unlike rand()), then exact dedup keeping the
+    min-doc_id representative per text, then the per-language token
+    budget of the surviving corpus.  Stages chain without materialization:
+    the sample is a narrow filter, the dedup window partitions by the
+    text itself (duplicate groups are tiny, no skew), and the final agg
+    partial-combines.  This pins that the individually-oracled stages
+    compose correctly."""
+    docs = _t(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("text")), 1, 1)
+    sampled = docs.where(
+        bucket.isin(*"01234567")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("text").orderBy("doc_id")
+    )
+    deduped = sampled.withColumn("rn", rn).where(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+
+
 def q_doc_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """Word-list toxicity scrub (north rule: "PII/toxicity-scrub"): per-doc
     blocklist hit count, token-fraction score, and the masked text with
@@ -1796,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopword_coverage": q_doc_stopword_coverage,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_hash_sample": q_doc_hash_sample,
+        "corpus_ablation_pipeline": q_corpus_ablation_pipeline,
         "doc_toxicity_scrub": q_doc_toxicity_scrub,
         "doc_toxicity_joined": q_doc_toxicity_joined,
         "doc_toxicity_filter": q_doc_toxicity_filter,
@@ -2041,6 +2069,23 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY score DESC, tok) AS rn
                 FROM scored
             ) WHERE rn = 1
+        """,
+        "corpus_ablation_pipeline": """
+            WITH sampled AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE SUBSTRING(MD5(text), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+            ), deduped AS (
+                SELECT lang, text,
+                       ROW_NUMBER() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM sampled
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                       AS total_tokens
+            FROM deduped WHERE rn = 1
+            GROUP BY lang
         """,
         "doc_hash_sample": """
             WITH normd AS (
