@@ -742,6 +742,104 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship month, the revenue
+    fraction coming from ECONOMY-type parts.  One broadcast dim join plus a
+    conditional aggregation — the share is a ratio of two sums computed in
+    the same grouped pass, never a second scan.  Both sums are rounded to 2
+    decimals BEFORE the division so the ratio of two correctly-rounded
+    doubles is bit-identical across engines (sum order is not)."""
+    part = F.broadcast(_t(spark, sf, "part").select("p_partkey", "p_type"))
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_valuable_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers whose account
+    balance exceeds the average positive balance yet who have placed no
+    order since 1999 (lapsed), counted per market segment.  The scalar
+    threshold is a 1-row aggregate cross-joined in (BroadcastNestedLoopJoin
+    over one row — free); "lapsed" is a LEFT ANTI join on custkey against
+    the date-filtered orders, the filter pushed to the orders scan.  The
+    threshold is rounded to 2 decimals on both engines so the > comparison
+    cannot flip on sum-order float noise."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier, correlated subquery): for each
+    small part (p_size <= 10), the supplier offering the lowest average unit
+    price observed on its lineitems.  The per-group argmin is a groupBy
+    `min(struct(price, suppkey))` — two hash aggregations, NO window, so a
+    part sold by millions of suppliers never funnels through one task; the
+    DuckDB oracle instead uses QUALIFY row_number() = 1, deliberately a
+    different mechanism for the same semantics.  Unit prices are rounded to
+    2 decimals before the argmin so float noise in avg() cannot flip the
+    winner; ties break on the smaller suppkey via the struct order."""
+    part = F.broadcast(
+        _t(spark, sf, "part")
+        .where(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf, "lineitem")
+    per_supp = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
+            .alias("avg_unit_price")
+        )
+    )
+    best = (
+        per_supp.groupBy("l_partkey")
+        .agg(F.min(F.struct("avg_unit_price", "l_suppkey")).alias("best"))
+        .select(
+            "l_partkey",
+            F.col("best.l_suppkey").alias("best_suppkey"),
+            F.col("best.avg_unit_price").alias("best_price"),
+        )
+    )
+    return best.join(part, best.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", "best_suppkey", "best_price"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis, regex, dedup
 # ---------------------------------------------------------------------------
@@ -1396,6 +1494,39 @@ def q_doc_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_lang_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language stratified cap — the heavy-hitter language-bucket
+    downsampler the north rule calls out (English dwarfs every other
+    bucket in a web corpus; per-language caps rebalance the mix).  Keeps a
+    deterministic top-K=30 per language ranked by md5(doc_id): rank-by-hash
+    is a uniform random sample that is stable under re-partitioning,
+    resume, and engine swap.  Exact and skew-proof in two phases: phase 1
+    ranks within (lang, salt) cells — 8 parallel tasks per language, so the
+    one giant bucket never funnels through a single window task — and keeps
+    at most K per cell; phase 2 ranks the surviving <= K*8 rows per
+    language (bounded, tiny) to the exact global top-K.  The DuckDB oracle
+    is a single QUALIFY window — a different mechanism, same rows."""
+    k = 30
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("rank_key"),
+    )
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("salt")
+    w_cell = Window.partitionBy("lang", "salt").orderBy("rank_key", "doc_id")
+    phase1 = (
+        docs.select("doc_id", "lang", "rank_key", salt)
+        .withColumn("rk_cell", F.row_number().over(w_cell))
+        .where(F.col("rk_cell") <= k)
+    )
+    w_lang = Window.partitionBy("lang").orderBy("rank_key", "doc_id")
+    return (
+        phase1.withColumn("rk", F.row_number().over(w_lang))
+        .where(F.col("rk") <= k)
+        .select("lang", "doc_id", "rk")
+    )
+
+
 def q_corpus_ablation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Operator COMPOSITION: the standard corpus-ablation flow as one
     query — deterministic 50% md5-bucket sample (reproducible across
@@ -1790,6 +1921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": q_events_cohort_retention,
         "part_supplier_revenue": q_part_supplier_revenue,
         "nation_market_share": q_nation_market_share,
+        "promo_revenue_share": q_promo_revenue_share,
+        "valuable_idle_customers": q_valuable_idle_customers,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "events_props_json": q_events_props_json,
         "revenue_cube": q_revenue_cube,
         "events_value_stats": q_events_value_stats,
@@ -1823,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopword_coverage": q_doc_stopword_coverage,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_hash_sample": q_doc_hash_sample,
+        "doc_lang_stratified_sample": q_doc_lang_stratified_sample,
         "corpus_ablation_pipeline": q_corpus_ablation_pipeline,
         "doc_toxicity_scrub": q_doc_toxicity_scrub,
         "doc_toxicity_joined": q_doc_toxicity_joined,
@@ -2470,6 +2605,62 @@ def oracle_sql() -> dict[str, str]:
                          SUM(nation_volume) OVER (PARTITION BY o_year), 4)
                        AS mkt_share
             FROM rev
+        """,
+        "promo_revenue_share": """
+            WITH agg AS (
+                SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
+                       ROUND(SUM(CASE WHEN p_type = 'ECONOMY'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END), 2) AS promo_revenue,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate BETWEEN DATE '1996-01-01'
+                                     AND DATE '1996-12-31'
+                GROUP BY 1
+            )
+            SELECT ship_month, promo_revenue, total_revenue,
+                   ROUND(100.0 * promo_revenue / total_revenue, 4)
+                       AS promo_share_pct
+            FROM agg
+        """,
+        "valuable_idle_customers": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS total_balance
+            FROM customer c
+            WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '1999-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "cheapest_supplier_per_part": """
+            WITH per_supp AS (
+                SELECT l_partkey, l_suppkey,
+                       ROUND(AVG(l_extendedprice / l_quantity), 2)
+                           AS avg_unit_price
+                FROM lineitem
+                GROUP BY 1, 2
+            )
+            SELECT p_partkey, p_name,
+                   l_suppkey AS best_suppkey,
+                   avg_unit_price AS best_price
+            FROM per_supp JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 10
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY l_partkey
+                ORDER BY avg_unit_price, l_suppkey) = 1
+        """,
+        "doc_lang_stratified_sample": """
+            SELECT lang, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS INT) AS rk
+            FROM documents
+            QUALIFY rk <= 30
         """,
         "doc_lang_stats": """
             SELECT lang, COUNT(*) AS n_docs,
