@@ -744,7 +744,7 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): per ship month, the revenue
-    fraction coming from ECONOMY-type parts.  One broadcast dim join plus a
+    fraction coming from PROMO-type parts.  One broadcast dim join plus a
     conditional aggregation — the share is a ratio of two sums computed in
     the same grouped pass, never a second scan.  Both sums are rounded to 2
     decimals BEFORE the division so the ratio of two correctly-rounded
@@ -759,7 +759,7 @@ def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))),
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))),
                 2,
             ).alias("promo_revenue"),
             F.round(F.sum(rev), 2).alias("total_revenue"),
@@ -812,13 +812,20 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB oracle instead uses QUALIFY row_number() = 1, deliberately a
     different mechanism for the same semantics.  Unit prices are rounded to
     2 decimals before the argmin so float noise in avg() cannot flip the
-    winner; ties break on the smaller suppkey via the struct order."""
+    winner; ties break on the smaller suppkey via the struct order.  The
+    part filter reaches lineitem BEFORE the first aggregation (broadcast
+    semi-join — Catalyst cannot push an inner join below two aggs itself),
+    so no hash-agg state is built for parts the final join would drop."""
     part = F.broadcast(
         _t(spark, sf, "part")
         .where(F.col("p_size") <= 10)
         .select("p_partkey", "p_name")
     )
-    li = _t(spark, sf, "lineitem")
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     per_supp = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -2609,7 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": """
             WITH agg AS (
                 SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
-                       ROUND(SUM(CASE WHEN p_type = 'ECONOMY'
+                       ROUND(SUM(CASE WHEN p_type = 'PROMO'
                                  THEN l_extendedprice * (1 - l_discount)
                                  ELSE 0.0 END), 2) AS promo_revenue,
                        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)

@@ -169,25 +169,19 @@ def _image_decode_bench(spark) -> dict | None:
     """Pixel-path throughput — the image-axis companion to
     scrub_by_length: decode_stats (mapInPandas over the binary column,
     bytes never on the driver) over a cached deterministic PNG fixture
-    table.  The fixture is generated once under .cache and reused across
-    rounds; generation time is excluded from the measurement.  Returns
-    None (and omits the field) if anything fails — the headline bench
-    must never die on the image leg."""
+    table.  The fixture cache is keyed on the generator-source fingerprint
+    (``ensure_cached_fixture``), so a generator change regenerates instead
+    of silently timing stale content; generation time is excluded from the
+    measurement.  Returns None (and omits the field) if anything fails —
+    the headline bench must never die on the image leg."""
     try:
-        from pii_redactor_spark.fixtures.images import (
-            CaptionConfig,
-            write_fixture_tables,
-        )
+        from pii_redactor_spark.fixtures.images import ensure_cached_fixture
         from pii_redactor_spark.operators.vision import decode_stats
 
         rows = int(os.environ.get("BENCH_IMAGE_ROWS", "20000"))
-        fx = f"/root/repo/.cache/bench_img_{rows}"
-        images_path = f"{fx}/images"
-        try:
-            n = spark.read.parquet(images_path).count()
-            assert n == rows
-        except Exception:
-            write_fixture_tables(spark, fx, rows, CaptionConfig())
+        images_path = ensure_cached_fixture(
+            spark, f"/root/repo/.cache/bench_img_{rows}", rows
+        )
         imgs = spark.read.parquet(images_path).select(
             "image_id", "bytes", "fmt", "phash"
         )
@@ -201,7 +195,11 @@ def _image_decode_bench(spark) -> dict | None:
             "sec": round(dt, 3),
             "images_per_sec": round(rows / dt, 1),
         }
-    except Exception:
+    except Exception as exc:
+        import traceback
+
+        print(f"# image_decode leg failed: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         return None
 
 

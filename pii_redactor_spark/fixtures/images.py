@@ -201,3 +201,50 @@ def write_fixture_tables(
 
     shutil.rmtree(staging_path, ignore_errors=True)
     return images_path, labels_path
+
+
+def fixture_fingerprint() -> str:
+    """sha256 over the fixture-generation sources (this package dir) — cache
+    keys derived from it invalidate when caption/image/codec generation
+    changes, so cross-round benchmark fixtures never silently go stale."""
+    import glob
+    import hashlib
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for p in sorted(glob.glob(os.path.join(here, "*.py"))):
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def ensure_cached_fixture(
+    spark,
+    out_dir: str,
+    n_rows: int,
+    cfg: CaptionConfig | None = None,
+    partitions: int | None = None,
+) -> str:
+    """Generate-once cached fixture table for benchmarks.  The marker file is
+    written LAST (torn writes never validate) and stores fingerprint+rows;
+    any generator-code or row-count change regenerates in place (the writers
+    use overwrite mode).  Returns the images path."""
+    import os
+
+    marker = os.path.join(out_dir, "_GEN_DONE")
+    want = f"{fixture_fingerprint()}:{n_rows}"
+    try:
+        with open(marker) as f:
+            if f.read().strip() == want:
+                return os.path.join(out_dir, "images")
+    except OSError:
+        pass
+    write_fixture_tables(
+        spark, out_dir, n_rows, cfg or CaptionConfig(), partitions=partitions
+    )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(want)
+    os.replace(tmp, marker)
+    return os.path.join(out_dir, "images")

@@ -37,23 +37,31 @@ LEVELS = tuple(
 
 
 def ensure_fixture() -> str:
-    images_path = f"{FIXTURE}/images"
+    """Fingerprint-keyed cached fixture (shared helper): regenerates when the
+    generator sources or row count change, in a throwaway generation session
+    so the timed levels start from fresh JVMs."""
+    from pii_redactor_spark.fixtures.images import (
+        ensure_cached_fixture,
+        fixture_fingerprint,
+    )
+
     marker = f"{FIXTURE}/_GEN_DONE"
-    if os.path.exists(marker):
-        return images_path
-    from pii_redactor_spark.fixtures.captions import CaptionConfig
-    from pii_redactor_spark.fixtures.images import write_fixture_tables
+    try:
+        with open(marker) as f:
+            if f.read().strip() == f"{fixture_fingerprint()}:{ROWS}":
+                return f"{FIXTURE}/images"
+    except OSError:
+        pass
     from pii_redactor_spark.session import get_spark
 
     spark = get_spark(app_name="bench-gen", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    write_fixture_tables(spark, FIXTURE, ROWS, CaptionConfig(), partitions=256)
+    images_path = ensure_cached_fixture(spark, FIXTURE, ROWS, partitions=256)
     print(f"# generated {ROWS} rows in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     spark.stop()
-    open(marker, "w").close()
     return images_path
 
 
