@@ -468,6 +468,31 @@ def q_events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_value_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range/interval join — the §2.3 join family's last member: events
+    matched to OVERLAPPING value bands [25i-20, 25i+20), where a point can
+    land in two bands and a naive formulation is a BNLJ/cartesian.
+    `operators/intervals.interval_join` quantizes instead: points take one
+    floor-bucket, intervals explode to the <=2 buckets they cover, and an
+    ordinary hash equi-join + residual filter finds exactly the
+    point-in-interval pairs — the only shuffle keys on the bucket.  The
+    DuckDB oracle is the theta-join form (fine at oracle scale)."""
+    from pii_redactor_spark.operators.intervals import interval_join
+
+    events = _t(spark, sf, "events").select("event_id", "value")
+    bands = spark.range(14).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 25.0 - 20.0).alias("lo"),
+        (F.col("id") * 25.0 + 20.0).alias("hi"),
+    )
+    j = interval_join(events, bands, "value", "lo", "hi", bucket_width=25.0)
+    return j.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Funnel analysis (signup -> view -> click -> purchase): per-user min
     timestamp per stage via conditional aggregation, then count users whose
@@ -1924,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_session_windows": q_events_session_windows,
+        "events_value_band_join": q_events_value_band_join,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
         "part_supplier_revenue": q_part_supplier_revenue,
@@ -2455,6 +2481,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS session_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "events_value_band_join": """
+            WITH bands AS (
+                SELECT CAST(i AS INT) AS band_id,
+                       i * 25.0 - 20.0 AS lo,
+                       i * 25.0 + 20.0 AS hi
+                FROM RANGE(14) t(i)
+            )
+            SELECT band_id, lo, hi,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(value), 4) AS avg_value,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY 1, 2, 3
         """,
         "events_funnel": """
             WITH per_user AS (
