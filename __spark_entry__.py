@@ -372,6 +372,32 @@ def q_events_running_total(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_trailing_hour_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window — the value-bounded sibling of the ROWS frame in
+    `events_running_total`: per user, each event's trailing-one-hour event
+    count and mean value.  The frame is defined on the ordering VALUE
+    (epoch seconds, both bounds inclusive), so same-timestamp peers are
+    all in frame regardless of their order — deterministic across engines
+    without an event_id tiebreak, which a ROWS frame cannot promise.  The
+    DuckDB oracle says `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW`; Spark spells the same frame `rangeBetween(-3600, 0)`
+    over epoch seconds (NTZ can't cast straight to long in Spark 4 — it
+    routes through timestamp_ltz under the pinned-UTC session, which is
+    value-preserving).  One shuffle keyed on user_id."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.avg("value").over(w), 4).alias("avg_value_1h"),
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: gap > 1800 s opens a new session (lag + running sum
     of boundaries — the batch form of a session window)."""
@@ -1946,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_user_gaps": q_events_user_gaps,
         "events_running_total": q_events_running_total,
+        "events_trailing_hour_avg": q_events_trailing_hour_avg,
         "events_sessions": q_events_sessions,
         "events_asof_join": q_events_asof_join,
         "events_session_windows": q_events_session_windows,
@@ -2401,6 +2428,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE gap_s IS NOT NULL
             GROUP BY user_id
+        """,
+        "events_trailing_hour_avg": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER w AS n_events_1h,
+                   ROUND(AVG(value) OVER w, 4) AS avg_value_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
         """,
         "events_running_total": """
             SELECT user_id, event_id,
