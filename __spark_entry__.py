@@ -380,15 +380,17 @@ def q_events_trailing_hour_avg(spark: SparkSession, sf: str) -> DataFrame:
     all in frame regardless of their order — deterministic across engines
     without an event_id tiebreak, which a ROWS frame cannot promise.  The
     DuckDB oracle says `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
-    CURRENT ROW`; Spark spells the same frame `rangeBetween(-3600, 0)`
-    over epoch seconds (NTZ can't cast straight to long in Spark 4 — it
-    routes through timestamp_ltz under the pinned-UTC session, which is
-    value-preserving).  One shuffle keyed on user_id."""
+    CURRENT ROW`; Spark spells the same frame over EXACT epoch
+    MICROSECONDS (`unix_micros`, the timestamps' native precision) —
+    ordering by floored epoch *seconds* would silently admit a
+    same-floored-second later peer into an earlier row's frame and
+    diverge from the interval oracle (caught by review at sf0.1: 1 row
+    in 100k events).  One shuffle keyed on user_id."""
     ev = _t(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "user_id",

@@ -203,20 +203,55 @@ def write_fixture_tables(
     return images_path, labels_path
 
 
+# The sources whose bytes determine generated fixture content.  Scoped —
+# NOT a package glob — so edits to unrelated fixture-package modules
+# (oracle_cache.py is ~400 lines of oracle logic) don't force multi-minute
+# benchmark-fixture regeneration.
+_GENERATOR_SOURCES = ("__init__.py", "captions.py", "codecs.py", "images.py")
+
+
 def fixture_fingerprint() -> str:
-    """sha256 over the fixture-generation sources (this package dir) — cache
-    keys derived from it invalidate when caption/image/codec generation
-    changes, so cross-round benchmark fixtures never silently go stale."""
-    import glob
+    """sha256 over the fixture-generation sources — cache keys derived from
+    it invalidate when caption/image/codec generation changes, so
+    cross-round benchmark fixtures never silently go stale."""
     import hashlib
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha256()
-    for p in sorted(glob.glob(os.path.join(here, "*.py"))):
-        with open(p, "rb") as fh:
-            h.update(fh.read())
+    found = 0
+    for name in _GENERATOR_SOURCES:
+        p = os.path.join(here, name)
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+            found += 1
+        except OSError:
+            continue
+    # zip-imported package (--py-files): sources unreadable as files — an
+    # empty hash would be a CONSTANT that never invalidates, the exact
+    # failure this function exists to prevent
+    if not found:
+        raise RuntimeError(
+            "fixture_fingerprint: no generator sources readable "
+            f"under {here} (zip import?) — cannot key fixture caches"
+        )
     return h.hexdigest()[:16]
+
+
+def fixture_is_fresh(out_dir: str, n_rows: int) -> bool:
+    """True iff the cache marker validates AND the data directory exists.
+    The single freshness contract shared by every cache site — callers
+    must not re-implement the marker format."""
+    import os
+
+    if not os.path.isdir(os.path.join(out_dir, "images")):
+        return False
+    try:
+        with open(os.path.join(out_dir, "_GEN_DONE")) as f:
+            return f.read().strip() == f"{fixture_fingerprint()}:{n_rows}"
+    except OSError:
+        return False
 
 
 def ensure_cached_fixture(
@@ -228,23 +263,19 @@ def ensure_cached_fixture(
 ) -> str:
     """Generate-once cached fixture table for benchmarks.  The marker file is
     written LAST (torn writes never validate) and stores fingerprint+rows;
-    any generator-code or row-count change regenerates in place (the writers
-    use overwrite mode).  Returns the images path."""
+    any generator-code or row-count change — or a deleted data directory
+    under a surviving marker — regenerates in place (the writers use
+    overwrite mode).  Returns the images path."""
     import os
 
-    marker = os.path.join(out_dir, "_GEN_DONE")
-    want = f"{fixture_fingerprint()}:{n_rows}"
-    try:
-        with open(marker) as f:
-            if f.read().strip() == want:
-                return os.path.join(out_dir, "images")
-    except OSError:
-        pass
+    if fixture_is_fresh(out_dir, n_rows):
+        return os.path.join(out_dir, "images")
     write_fixture_tables(
         spark, out_dir, n_rows, cfg or CaptionConfig(), partitions=partitions
     )
+    marker = os.path.join(out_dir, "_GEN_DONE")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        f.write(want)
+        f.write(f"{fixture_fingerprint()}:{n_rows}")
     os.replace(tmp, marker)
     return os.path.join(out_dir, "images")

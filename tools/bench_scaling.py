@@ -42,16 +42,11 @@ def ensure_fixture() -> str:
     so the timed levels start from fresh JVMs."""
     from pii_redactor_spark.fixtures.images import (
         ensure_cached_fixture,
-        fixture_fingerprint,
+        fixture_is_fresh,
     )
 
-    marker = f"{FIXTURE}/_GEN_DONE"
-    try:
-        with open(marker) as f:
-            if f.read().strip() == f"{fixture_fingerprint()}:{ROWS}":
-                return f"{FIXTURE}/images"
-    except OSError:
-        pass
+    if fixture_is_fresh(FIXTURE, ROWS):
+        return f"{FIXTURE}/images"
     from pii_redactor_spark.session import get_spark
 
     spark = get_spark(app_name="bench-gen", master="local[32]",
