@@ -1090,8 +1090,13 @@ SPARSE_JACCARD_EXACT_MAX = 100_000
 SPARSE_JACCARD_MAX_DF = 1_000
 # Exact substring-pair enumeration guard: below it the uncapped exact
 # inverted index runs (the oracle form); above it the winnowed sketch +
-# df cap bound cost (recall floor: shared runs >= 47 chars).
-SUBSTRING_EXACT_MAX = 1_000
+# df cap bound cost (recall floor: shared runs >= 47 chars).  10k covers
+# every oracle/audit scale exactly (sf0.1 = 5k docs: measured 5.4 s and
+# equal to the exact oracle — the sf0.1 audit caught the old 1k guard
+# silently switching these two queries to the sketch answer); the
+# winnowed scale path takes over where exact enumeration could actually
+# go quadratic on hot boilerplate runs.
+SUBSTRING_EXACT_MAX = 10_000
 
 
 def _sparse_jaccard_max_df(eligible: DataFrame) -> tuple[int | None, int]:
@@ -2946,12 +2951,24 @@ def oracle_sql() -> dict[str, str]:
                                 string_split(text, ' ')[i+2])) AS shingles
                 FROM documents
                 WHERE LEN(string_split(text, ' ')) >= 3
+            ), tok AS (
+                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            ), cand AS (
+                -- inverted index, NOT all-pairs: only doc pairs sharing a
+                -- shingle are enumerated (the all-pairs LIST_INTERSECT form
+                -- is O(n^2) list work -- hours at the sf0.1 audit scale)
+                SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             ), pr AS (
-                SELECT a.doc_id AS ia, b.doc_id AS ib
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles)) * 1.0 /
-                      LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))
-                      >= 0.5
+                -- shingles are LIST_DISTINCT'd, so union = |A| + |B| - inter
+                SELECT ia, ib
+                FROM cand
+                  JOIN sh sa ON sa.doc_id = ia
+                  JOIN sh sb ON sb.doc_id = ib
+                WHERE inter * 1.0 /
+                      (LEN(sa.shingles) + LEN(sb.shingles) - inter) >= 0.5
             ), edges AS (
                 SELECT ia, ib FROM pr UNION SELECT ib AS ia, ia AS ib FROM pr
             ), reach(id, r) AS (
@@ -2977,12 +2994,24 @@ def oracle_sql() -> dict[str, str]:
                                 string_split(text, ' ')[i+2])) AS shingles
                 FROM documents
                 WHERE LEN(string_split(text, ' ')) >= 3
+            ), tok AS (
+                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            ), cand AS (
+                -- inverted index, NOT all-pairs: only doc pairs sharing a
+                -- shingle are enumerated (the all-pairs LIST_INTERSECT form
+                -- is O(n^2) list work -- hours at the sf0.1 audit scale)
+                SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             ), pr AS (
-                SELECT a.doc_id AS ia, b.doc_id AS ib
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles)) * 1.0 /
-                      LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles)))
-                      >= 0.5
+                -- shingles are LIST_DISTINCT'd, so union = |A| + |B| - inter
+                SELECT ia, ib
+                FROM cand
+                  JOIN sh sa ON sa.doc_id = ia
+                  JOIN sh sb ON sb.doc_id = ib
+                WHERE inter * 1.0 /
+                      (LEN(sa.shingles) + LEN(sb.shingles) - inter) >= 0.5
             ), edges AS (
                 SELECT ia, ib FROM pr UNION SELECT ib AS ia, ia AS ib FROM pr
             ), reach(id, r) AS (
