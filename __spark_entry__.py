@@ -1099,11 +1099,31 @@ SPARSE_JACCARD_MAX_DF = 1_000
 SUBSTRING_EXACT_MAX = 10_000
 
 
-def _sparse_jaccard_max_df(eligible: DataFrame) -> tuple[int | None, int]:
+# Memoized guard counts (round-3 verdict #6): the adaptive exact-vs-sketch
+# guards each fired a separate zero-column count() job PER INVOCATION —
+# cheap locally, but two extra Spark jobs per call and a full scan at
+# 10^12 rows.  The inputs are immutable sf-dir parquet tables (plus
+# deterministic filters of them), so one count per (sf_dir, key) is exact
+# for the process lifetime.
+_GUARD_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _guard_count(df: DataFrame, sf_dir: str, key: str) -> int:
+    k = (sf_dir, key)
+    if k not in _GUARD_COUNTS:
+        _GUARD_COUNTS[k] = df.count()
+    return _GUARD_COUNTS[k]
+
+
+def _sparse_jaccard_max_df(
+    eligible: DataFrame, sf_dir: str
+) -> tuple[int | None, int]:
     """(max_df for this table size, eligible-doc count).  The count is
     returned so callers can reuse the guard's scan as an in-plan literal
-    instead of paying a second aggregation over the table."""
-    n = eligible.count()
+    instead of paying a second aggregation over the table; it is memoized
+    per sf_dir because the >=3-token filter of an immutable table cannot
+    change between invocations."""
+    n = _guard_count(eligible, sf_dir, "documents_min3tok")
     return (None if n <= SPARSE_JACCARD_EXACT_MAX
             else SPARSE_JACCARD_MAX_DF), n
 
@@ -1125,7 +1145,7 @@ def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     eligible = docs.where(F.size(F.split("text", " ")) >= 3)
-    max_df, n_docs = _sparse_jaccard_max_df(eligible)
+    max_df, n_docs = _sparse_jaccard_max_df(eligible, sf)
     pairs = sparse_jaccard_pairs(eligible, "doc_id", "text", k=3,
                                  max_df=max_df)
     stats = pairs.agg(
@@ -1161,7 +1181,7 @@ def q_doc_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         sparse_jaccard_pairs(
             eligible, "doc_id", "text", k=3,
-            max_df=_sparse_jaccard_max_df(eligible)[0],
+            max_df=_sparse_jaccard_max_df(eligible, sf)[0],
         )
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
@@ -1193,7 +1213,7 @@ def q_doc_neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         sparse_jaccard_pairs(
             eligible, "doc_id", "text", k=3,
-            max_df=_sparse_jaccard_max_df(eligible)[0],
+            max_df=_sparse_jaccard_max_df(eligible, sf)[0],
         )
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
@@ -1242,7 +1262,7 @@ def q_doc_substring_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # corpora make exact pair enumeration inherently quadratic on hot
     # boilerplate runs, so the winnowed sketch + df cap take over.
     docs = parallelize_for_udf(_t(spark, sf, "documents"))
-    if docs.count() <= SUBSTRING_EXACT_MAX:
+    if _guard_count(docs, sf, "documents") <= SUBSTRING_EXACT_MAX:
         return substring_dup_pairs(docs, window=40)
     return substring_dup_pairs(docs, window=40, winnow=8, max_df=100)
 
@@ -1254,23 +1274,40 @@ def q_doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     definition) and the >0.20 repetition flag.  Entirely JVM-side: one
     explode + two hash aggregations keyed on the doc id; tie-break is the
     lexicographically greatest gram via max(struct(count, gram)), which
-    DuckDB reproduces with the same ORDER BY pair."""
+    DuckDB reproduces with the same ORDER BY pair.
+
+    Tokenizes ONCE into a projected ``_toks`` column (the ``with_shingles``
+    discipline, operators/dedup.py): inlining ``split()`` into every
+    ``element_at`` re-tokenizes the text ~2t times per row — O(t·len) char
+    work per doc, the dominant cost on long documents.  Catalyst keeps the
+    alias materialized because it is referenced more than once; the plan
+    shape (exactly one split() in the optimized plan) is pinned by
+    tests/test_plans.py."""
     from pii_redactor_spark.operators.scrub import parallelize_for_udf
 
     docs = parallelize_for_udf(_t(spark, sf, "documents"))
-    # occurrence grams (NOT deduped — the signal counts repetitions)
-    grams = docs.where(F.size(F.split("text", " ")) >= 2).select(
+    toks = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("_toks"),
+    )
+    # occurrence grams (NOT deduped — the signal counts repetitions).
+    # No explicit >=2-token filter: the IF guard already yields an empty
+    # array for short docs and explode() drops them, whereas a .where on
+    # size(_toks) gets pushed below the projection and re-inlines split()
+    # into the filter condition (a second tokenization per row).
+    grams = toks.select(
+        "doc_id",
+        "n_chars",
         F.explode(
             # total expression (same discipline as with_shingles): Spark
             # may evaluate the projection on rows the filter would drop,
             # and the unguarded sequence turns descending for 1-token docs
             F.expr(
-                "IF(size(split(text, ' ')) >= 2, "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                "element_at(split(text, ' '), i + 1))), "
+                "IF(size(_toks) >= 2, "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat_ws(' ', element_at(_toks, i), "
+                "element_at(_toks, i + 1))), "
                 "CAST(array() AS array<string>))"
             )
         ).alias("gram"),
@@ -1310,7 +1347,8 @@ def q_doc_boilerplate_runs(spark: SparkSession, sf: str) -> DataFrame:
     # run still surfaces (every doc pair sharing it selects a common
     # window inside it, so some of its windows accumulate df >= 3),
     # though per-window df can fragment across the run's windows
-    winnow = None if docs.count() <= SUBSTRING_EXACT_MAX else 8
+    winnow = (None if _guard_count(docs, sf, "documents")
+              <= SUBSTRING_EXACT_MAX else 8)
     return (
         substring_postings(docs, window=40, winnow=winnow)
         .groupBy("sub")
@@ -1764,7 +1802,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     (driver-side count — one cheap columnless scan); beyond the guard the
     O(n²) join is never built and the scale path runs instead."""
     emb = _t(spark, sf, "embeddings")
-    if emb.count() <= NEARDUP_ALLPAIRS_MAX:
+    if _guard_count(emb, sf, "embeddings") <= NEARDUP_ALLPAIRS_MAX:
         return _embedding_neardup_allpairs(emb)
     return _embedding_neardup_scale(emb)
 
@@ -1961,6 +1999,118 @@ def q_embedding_semdedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select("vec_id").join(dup, "vec_id", "left_anti")
 
 
+# ---------------------------------------------------------------------------
+# image-axis queries (round-4 verdict #3): give the multimodal surface the
+# same driver-oracle status as text.  The testdata has no image table, so a
+# deterministic metadata frame (image_id, phash, w, h, fmt) is DERIVED from
+# `documents` with md5 arithmetic both engines compute bit-identically —
+# standing in for the ingest-computed phash/metadata columns of the
+# north-star image table.  The operators under test are the real
+# operators/vision.py entry points, verbatim.
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of _image_metadata — shared WITH-clause prefix of every
+# image-axis oracle below.
+_IMAGE_META_SQL = """
+    m AS (
+        SELECT doc_id AS image_id,
+               (('0x' || substr(md5(substr(text, 1, 40)), 1, 13))::BIGINT
+                   << 8)
+                 | ('0x' || substr(md5(text), 31, 2))::BIGINT AS phash,
+               (16 + ('0x' || substr(md5(text), 3, 4))::BIGINT % 240)::INT
+                   AS w,
+               (16 + ('0x' || substr(md5(text), 7, 4))::BIGINT % 240)::INT
+                   AS h,
+               ['png','jpeg','webp','gif'][
+                   (('0x' || substr(md5(text), 11, 1))::INT % 4) + 1
+               ] AS fmt
+        FROM documents
+    )
+"""
+
+
+def _image_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic image-metadata table derived from documents.
+
+    ``phash`` is PLANTED with near-dup structure: the high 52 bits hash
+    the 40-char text prefix, the low 8 bits hash the full text — so
+    documents sharing a prefix (the template families the corpus already
+    contains) differ only in the low byte (hamming <= 8), while unrelated
+    documents differ in ~26 of 60 bits.  w/h/fmt are md5-derived in
+    ranges that exercise every quality gate (16..255 px sides, a 4-format
+    mix).  Both engines compute the same md5 hex, so the derivation is
+    bit-identical cross-engine (prototype-verified conv()/'0x'-cast
+    parity)."""
+    docs = _t(spark, sf, "documents")
+    high = F.conv(
+        F.substring(F.md5(F.substring("text", 1, 40)), 1, 13), 16, 10
+    ).cast("long")
+    low = F.conv(F.substring(F.md5("text"), 31, 2), 16, 10).cast("long")
+    fmt_wheel = F.array(
+        F.lit("png"), F.lit("jpeg"), F.lit("webp"), F.lit("gif")
+    )
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.shiftleft(high, 8) + low).alias("phash"),
+        (F.lit(16)
+         + F.conv(F.substring(F.md5("text"), 3, 4), 16, 10).cast("long")
+         % 240).cast("int").alias("w"),
+        (F.lit(16)
+         + F.conv(F.substring(F.md5("text"), 7, 4), 16, 10).cast("long")
+         % 240).cast("int").alias("h"),
+        F.element_at(
+            fmt_wheel,
+            (F.conv(F.substring(F.md5("text"), 11, 1), 16, 10).cast("int")
+             % 4) + 1,
+        ).alias("fmt"),
+    )
+
+
+def q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (hamming <= 8) via the REAL
+    ``operators.vision.phash_neardup_pairs`` — pigeonhole chunk joins,
+    exact popcount only on collisions, never an all-pairs comparison and
+    never a pixel decode.  The DuckDB oracle recomputes all-pairs
+    bit_count(xor) — viable at oracle scale only."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
+    from pii_redactor_spark.operators.vision import phash_neardup_pairs
+
+    meta = parallelize_for_udf(_image_metadata(spark, sf))
+    return phash_neardup_pairs(meta, max_hamming=8)
+
+
+def q_image_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """LAION-style metadata quality gate over the image table via the REAL
+    ``operators.vision.image_quality_flags`` expression — min-side,
+    aspect-ratio, and format-allowlist checks on (w, h, fmt) only; the
+    flag array is rendered as a CSV string (fixed check order) for the
+    cross-engine hash."""
+    from pii_redactor_spark.operators.vision import image_quality_flags
+
+    meta = _image_metadata(spark, sf)
+    return meta.withColumn("flags", image_quality_flags()).select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        F.array_join("flags", ",").alias("flags_csv"),
+        (F.size("flags") == 0).alias("keep"),
+    )
+
+
+def q_image_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Image keep-set after perceptual dedup via the REAL
+    ``operators.vision.dedupe_images_by_phash`` — phash pair graph,
+    pointer-jumping connected components, min-id representative kept;
+    only ids move through the anti join.  Oracle: recursive-CTE
+    components over the all-pairs <=8-hamming edge list."""
+    from pii_redactor_spark.operators.scrub import parallelize_for_udf
+    from pii_redactor_spark.operators.vision import dedupe_images_by_phash
+
+    meta = parallelize_for_udf(_image_metadata(spark, sf))
+    return dedupe_images_by_phash(meta, max_hamming=8).select("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2038,6 +2188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_hist": q_embedding_lsh_hist,
         "embedding_ivf_cells": q_embedding_ivf_cells,
         "embedding_semdedup_survivors": q_embedding_semdedup_survivors,
+        "image_phash_neardup": q_image_phash_neardup,
+        "image_quality_flags": q_image_quality_flags,
+        "image_dedup_survivors": q_image_dedup_survivors,
     }
 
 
@@ -3090,5 +3243,47 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY label, r.i
             )
             GROUP BY label
+        """,
+        "image_phash_neardup": f"""
+            WITH {_IMAGE_META_SQL}
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM m a JOIN m b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        """,
+        "image_quality_flags": f"""
+            WITH {_IMAGE_META_SQL}
+            SELECT image_id, w, h, fmt,
+                   concat_ws(',',
+                       CASE WHEN least(w, h) < 64 THEN 'too_small' END,
+                       CASE WHEN greatest(w, h) / least(w, h) > 4.0
+                            THEN 'extreme_aspect' END,
+                       CASE WHEN fmt NOT IN ('png', 'jpeg')
+                            THEN 'bad_format' END) AS flags_csv,
+                   (least(w, h) >= 64
+                    AND greatest(w, h) / least(w, h) <= 4.0
+                    AND fmt IN ('png', 'jpeg')) AS keep
+            FROM m
+        """,
+        "image_dedup_survivors": f"""
+            WITH RECURSIVE {_IMAGE_META_SQL}, pr AS (
+                SELECT a.image_id AS ia, b.image_id AS ib
+                FROM m a JOIN m b ON a.image_id < b.image_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 8
+            ), edges AS (
+                SELECT ia, ib FROM pr UNION
+                SELECT ib AS ia, ia AS ib FROM pr
+            ), reach(id, r) AS (
+                SELECT DISTINCT ia AS id, ia AS r FROM edges
+                UNION
+                SELECT e.ia, reach.r FROM edges e
+                JOIN reach ON e.ib = reach.id
+            ), labels AS (
+                SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT image_id FROM m
+            WHERE image_id NOT IN (
+                SELECT id FROM labels WHERE id != cluster_id
+            )
         """,
     }

@@ -239,17 +239,43 @@ def fixture_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
-def fixture_is_fresh(out_dir: str, n_rows: int) -> bool:
+def _marker_value(
+    n_rows: int, cfg: CaptionConfig | None, partitions: int | None
+) -> str:
+    """The full cache key: generator-source fingerprint + row count + a
+    digest of the CaptionConfig and partition layout.  Round-3 advice: the
+    old marker recorded only fingerprint:n_rows, so two callers sharing an
+    out_dir with different cfg (e.g. a heavy_language skew variant)
+    silently got the first caller's fixture — the exact stale-cache
+    failure the fingerprint was added to prevent.  ``partitions`` is in
+    the key too: it changes the written file/partition layout, which scan
+    benchmarks measure."""
+    import dataclasses
+    import hashlib
+
+    c = cfg or CaptionConfig()
+    cfg_key = repr((dataclasses.astuple(c), partitions))
+    digest = hashlib.sha256(cfg_key.encode()).hexdigest()[:12]
+    return f"{fixture_fingerprint()}:{n_rows}:{digest}"
+
+
+def fixture_is_fresh(
+    out_dir: str,
+    n_rows: int,
+    cfg: CaptionConfig | None = None,
+    partitions: int | None = None,
+) -> bool:
     """True iff the cache marker validates AND the data directory exists.
     The single freshness contract shared by every cache site — callers
-    must not re-implement the marker format."""
+    must not re-implement the marker format, and must pass the same cfg
+    and partitions they would hand to ``ensure_cached_fixture``."""
     import os
 
     if not os.path.isdir(os.path.join(out_dir, "images")):
         return False
     try:
         with open(os.path.join(out_dir, "_GEN_DONE")) as f:
-            return f.read().strip() == f"{fixture_fingerprint()}:{n_rows}"
+            return f.read().strip() == _marker_value(n_rows, cfg, partitions)
     except OSError:
         return False
 
@@ -262,13 +288,14 @@ def ensure_cached_fixture(
     partitions: int | None = None,
 ) -> str:
     """Generate-once cached fixture table for benchmarks.  The marker file is
-    written LAST (torn writes never validate) and stores fingerprint+rows;
-    any generator-code or row-count change — or a deleted data directory
-    under a surviving marker — regenerates in place (the writers use
-    overwrite mode).  Returns the images path."""
+    written LAST (torn writes never validate) and stores
+    fingerprint+rows+cfg/partitions digest; any generator-code, row-count,
+    or config change — or a deleted data directory under a surviving
+    marker — regenerates in place (the writers use overwrite mode).
+    Returns the images path."""
     import os
 
-    if fixture_is_fresh(out_dir, n_rows):
+    if fixture_is_fresh(out_dir, n_rows, cfg, partitions):
         return os.path.join(out_dir, "images")
     write_fixture_tables(
         spark, out_dir, n_rows, cfg or CaptionConfig(), partitions=partitions
@@ -276,6 +303,6 @@ def ensure_cached_fixture(
     marker = os.path.join(out_dir, "_GEN_DONE")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        f.write(f"{fixture_fingerprint()}:{n_rows}")
+        f.write(_marker_value(n_rows, cfg, partitions))
     os.replace(tmp, marker)
     return os.path.join(out_dir, "images")

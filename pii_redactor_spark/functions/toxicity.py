@@ -44,11 +44,19 @@ def _tokens(text: Column | str) -> Column:
     # Prose with punctuation-adjacent words would tokenize with
     # functions.bpe_ish_tokens instead; the downstream expressions only
     # need *an* array<string>, so both plug in unchanged.
-    return F.split(text, " ")
+    #
+    # NULL text is folded to '' BEFORE split so every downstream
+    # expression is total regardless of session ANSI settings: under
+    # legacy spark.sql.ansi.enabled=false + sizeOfNull semantics,
+    # size(split(NULL)) = -1 would make n_toxic = -1 and
+    # toxicity = (-1)/(-1) = 1.0 — silently dropping every NULL-caption
+    # row through the keep gate (round-3 advice).  With the fold, NULL
+    # scores exactly like empty text: 0 hits, 0.0 toxicity, flag false.
+    return F.split(F.coalesce(text, F.lit("")), " ")
 
 
 def toxic_hits(text: Column | str, blocklist: Sequence[str] = DEFAULT_BLOCKLIST) -> Column:
-    """Count of blocklisted tokens (int).  Empty text -> 0."""
+    """Count of blocklisted tokens (int).  Empty or NULL text -> 0."""
     return F.size(F.filter(_tokens(text), lambda t: t.isin(*blocklist)))
 
 
@@ -57,8 +65,9 @@ def toxicity_score(
 ) -> Column:
     """Blocklisted-token fraction in [0, 1].
 
-    ``split`` never returns an empty array (empty text -> [""]), so the
-    denominator is always >= 1 and the score is total.
+    ``split`` never returns an empty array (empty/NULL text -> [""]), so
+    the denominator is always >= 1 and the score is total — under ANSI
+    and legacy sizeOfNull sessions alike (see ``_tokens``).
     """
     toks = _tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*blocklist)))
@@ -71,7 +80,8 @@ def mask_toxic(
     mask: str = TOXIC_MASK,
 ) -> Column:
     """Replace each blocklisted token with ``mask``, preserving the
-    single-space joins the tokenizer split on."""
+    single-space joins the tokenizer split on.  NULL text masks to ''
+    (the NULL-as-empty contract of ``_tokens``)."""
     replaced = F.transform(
         _tokens(text),
         lambda t: F.when(t.isin(*blocklist), F.lit(mask)).otherwise(t),
@@ -149,9 +159,10 @@ def with_toxicity_joined(
         .withColumn("toxic_flag", F.col("toxicity") >= F.lit(threshold))
     )
     out = df.join(scored, id_col, "left")
-    # Rows with NULL text vanish at posexplode and come back all-NULL from
-    # the left join; the flag must stay total (same contract as
-    # with_toxicity, whose keep-gate consumers AND against it).
+    # NULL text folds to '' in _tokens, so every input row survives
+    # posexplode with one empty token and scores 0/0.0/false like the
+    # expression path; the coalesce is a defensive rail in case a caller
+    # swaps in a tokenizer without the NULL-as-empty contract.
     return out.withColumn(
         "toxic_flag", F.coalesce("toxic_flag", F.lit(False))
     )
@@ -178,9 +189,9 @@ def with_toxicity(
         {
             "n_toxic": toxic_hits(F.col(text_col), cfg.blocklist),
             "toxicity": score,
-            # NULL text -> NULL score; the flag must stay total or the
-            # keep-gate AND below would poison keep to NULL (rows then
-            # vanish from both kept and dropped counters).
+            # score is total (NULL folds to '' in _tokens), so the plain
+            # comparison is already total; coalesce kept as a cheap
+            # defensive rail for the keep-gate AND below.
             "toxic_flag": F.coalesce(
                 score >= F.lit(cfg.threshold), F.lit(False)
             ),

@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Salt fan-out for the hot-shingle chain pass (sparse_jaccard_pairs): each
+# hot posting list is windowed in CHAIN_SALT_BUCKETS independent tasks.
+CHAIN_SALT_BUCKETS = 32
+
 # --- exact -------------------------------------------------------------------
 
 
@@ -221,15 +225,24 @@ def sparse_jaccard_pairs(
     shingles are not dropped outright (that would zero recall for any
     near-dup cluster larger than max_df — a mass-duplicated template's
     shared shingles ALL exceed the cap): instead each hot posting list
-    contributes only its CHAIN of id-adjacent pairs — ``m−1`` candidate
-    rows instead of ``m·(m−1)/2``, linear in the index size.  When a hot
-    posting list consists of one near-dup cluster, every adjacent pair
-    verifies and connectivity — what the downstream
+    contributes a SPANNING CHAIN of exactly ``m−1`` candidate rows
+    instead of ``m·(m−1)/2``, linear in the index size.  The chain is
+    SALTED (round-3 advice): a window partitioned by the bare shingle
+    would funnel each hot posting list — the very keys the cap exists to
+    tame — through one unsplittable task (AQE can split join keys but
+    not window partitions), so the list is first bucketed by
+    ``pmod(xxhash64(id), CHAIN_SALT_BUCKETS)``; id-adjacent pairs are
+    chained WITHIN each (shingle, salt) bucket (~m/S rows per window
+    task) and ``B−1`` bridge edges between adjacent per-bucket minima
+    (a window over <= S rows per shingle) reconnect the buckets —
+    still ``m−1`` edges total, still spanning the whole posting list.
+    When a hot posting list consists of one near-dup cluster, every
+    chain pair verifies and connectivity — what the downstream
     ``connected_components`` consumer needs — is preserved; when
     dissimilar docs interleave the list, chain edges between them fail
-    exact verification, so such a cluster can fragment into
-    id-contiguous runs (recall is still strictly better than dropping
-    hot shingles, never worse) and boilerplate-only chains die entirely.  Every candidate from either source is
+    exact verification, so such a cluster can fragment into chain runs
+    (recall is still strictly better than dropping hot shingles, never
+    worse) and boilerplate-only chains die entirely.  Every candidate from either source is
     re-scored with exact set Jaccard over the full (uncapped) shingle
     arrays, so emitted pairs are always exact; what the cap trades away
     is *pair enumeration completeness* among docs sharing only hot
@@ -258,16 +271,34 @@ def sparse_jaccard_pairs(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
         hot = df_counts.where(F.col("_df") > max_df).select("shingle")
-        hot_postings = sh.join(hot, "shingle", "left_semi")
-        w = Window.partitionBy("shingle").orderBy("_id")
-        chain_pairs = (
+        hot_postings = sh.join(hot, "shingle", "left_semi").withColumn(
+            "_salt", F.pmod(F.xxhash64("_id"), F.lit(CHAIN_SALT_BUCKETS))
+        )
+        w = Window.partitionBy("shingle", "_salt").orderBy("_id")
+        within_pairs = (
             hot_postings.withColumn("_prev", F.lag("_id").over(w))
             .where(F.col("_prev").isNotNull())
             .select(
                 F.col("_prev").alias("id_a"), F.col("_id").alias("id_b")
             )
         )
-        candidates = rare_pairs.union(chain_pairs).distinct()
+        # bridges: adjacent per-bucket minima in salt order — <= S rows
+        # per shingle through this window, never the posting list itself
+        bucket_min = hot_postings.groupBy("shingle", "_salt").agg(
+            F.min("_id").alias("_lo")
+        )
+        wb = Window.partitionBy("shingle").orderBy("_salt")
+        bridge_pairs = (
+            bucket_min.withColumn("_prev", F.lag("_lo").over(wb))
+            .where(F.col("_prev").isNotNull())
+            .select(
+                F.least("_prev", "_lo").alias("id_a"),
+                F.greatest("_prev", "_lo").alias("id_b"),
+            )
+        )
+        candidates = rare_pairs.union(within_pairs).union(
+            bridge_pairs
+        ).distinct()
         return exact_jaccard(candidates, df, id_col, text_col, k)
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin ANSI semantics (the Spark 4 default) against cluster-level
+        # spark-defaults overrides: under legacy ansi=false + sizeOfNull,
+        # size(NULL) = -1 flips sign-sensitive expressions (round-3
+        # advice on the toxicity keep-gate).  The expressions themselves
+        # are also written NULL-total, so this is belt and braces.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

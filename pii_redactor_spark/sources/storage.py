@@ -12,6 +12,10 @@ on a Parquet layout (SURVEY.md §1.3):
   write succeeds — the commit point;
 * one read/write API so swapping in ``spark.read.format("iceberg")`` /
   ``df.writeTo(tbl)`` is a one-module change.
+
+The function-by-function shim↔Iceberg mapping — and the two places the
+semantics honestly differ (partition-level vs file-level time travel,
+single-writer commits) — is documented in ``docs/ICEBERG_MAPPING.md``.
 """
 
 from __future__ import annotations

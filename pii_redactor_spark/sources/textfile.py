@@ -27,7 +27,11 @@ blank/whitespace-only line exists; ``"drop"`` omits such lines under
 EVERY encoding — the usual distributed-corpus contract — so the flag
 behaves identically whatever charset is in play.  UTF-8 mode with the
 default ``"error"`` preserves blank lines exactly (no error is raised;
-the native text path round-trips them).
+the native text path round-trips them).  Non-ASCII-compatible charsets
+(UTF-16/32, EBCDIC) are rejected loudly up front — split reads and the
+blank-line probe assume single-byte newline framing, and accepting such
+a codec would corrupt lines silently at split boundaries
+(``_require_ascii_compatible``).
 
 Ordering (``ordered=True``, the parity mode): output lines are globally
 ordered by ``(input file name, read-order id)`` and written through a
@@ -70,6 +74,45 @@ def _is_utf8(encoding: str) -> bool:
     return encoding.replace("-", "").replace("_", "").upper() == "UTF8"
 
 
+# ASCII canary: newline/CR framing bytes, the \x01 separator, and plain
+# letters — the bytes the CSV line path and the blank-line probe depend on.
+_ASCII_CANARY = "\r\nA z01\x01"
+
+
+def _require_ascii_compatible(encoding: str) -> None:
+    """Reject charsets the CSV line path cannot frame correctly.
+
+    The non-UTF-8 read/write path and ``_raw_has_blank_line`` assume
+    ASCII-compatible newline framing: one line per ``\\n`` byte, the
+    ``\\x01`` separator byte never produced by payload re-encoding.  Wide
+    charsets (UTF-16/32: multi-byte code units + BOM) and non-ASCII
+    single-byte codecs (EBCDIC) break that silently — corrupt lines at
+    split boundaries, missed blank-line errors — so they fail loudly here
+    instead (round-3 advice).  The check is behavioral, not an allowlist:
+    a codec qualifies iff it encodes the ASCII canary to the identical
+    ASCII bytes (true for UTF-8, latin-1/ISO-8859-*, cp125x, KOI8,
+    Shift_JIS/EUC-family ASCII planes; false for UTF-16/32, EBCDIC).
+    """
+    import codecs
+
+    try:
+        info = codecs.lookup(encoding)
+    except LookupError as e:
+        raise ValueError(f"unknown encoding {encoding!r}") from e
+    try:
+        ok = _ASCII_CANARY.encode(info.name) == _ASCII_CANARY.encode("ascii")
+    except UnicodeError:
+        ok = False
+    if not ok:
+        raise ValueError(
+            f"encoding {encoding!r} is not ASCII-compatible: the "
+            "charset-honoring line path relies on single-byte newline "
+            "framing, which UTF-16/32-style wide or non-ASCII codecs "
+            "violate (silent line corruption at split boundaries); "
+            "re-encode the input as UTF-8 or a single-byte charset"
+        )
+
+
 def read_text_lines(
     spark: SparkSession, input_path: str, encoding: str = "UTF-8"
 ) -> DataFrame:
@@ -82,6 +125,7 @@ def read_text_lines(
     """
     if _is_utf8(encoding):
         return spark.read.text(input_path)
+    _require_ascii_compatible(encoding)
     return (
         spark.read.format("csv")
         .option("encoding", encoding)

@@ -107,3 +107,33 @@ def test_labels_scrub_consistent_with_truth():
             assert not row["has_pii_expected"]
         if row["has_pii_expected"]:
             assert "[" in row["scrubbed_expected"]
+
+
+def test_fixture_cache_keyed_on_config(spark, tmp_root):
+    """Round-3 advice: the cache marker must include the CaptionConfig
+    (and partition layout), not just fingerprint:n_rows — two callers
+    sharing an out_dir with different cfg must not silently reuse the
+    first caller's fixture."""
+    from pii_redactor_spark.fixtures.images import (
+        ensure_cached_fixture,
+        fixture_is_fresh,
+    )
+
+    out = f"{tmp_root}/cache_fx"
+    ensure_cached_fixture(spark, out, 40, CaptionConfig(), partitions=2)
+    assert fixture_is_fresh(out, 40, CaptionConfig(), partitions=2)
+    # different row count, config, or layout each invalidate
+    assert not fixture_is_fresh(out, 41, CaptionConfig(), partitions=2)
+    skew = CaptionConfig(heavy_language=("he", 0.7))
+    assert not fixture_is_fresh(out, 40, skew, partitions=2)
+    assert not fixture_is_fresh(out, 40, CaptionConfig(), partitions=4)
+    # a second caller with the skew cfg regenerates rather than reusing
+    ensure_cached_fixture(spark, out, 40, skew, partitions=2)
+    assert fixture_is_fresh(out, 40, skew, partitions=2)
+    assert not fixture_is_fresh(out, 40, CaptionConfig(), partitions=2)
+    langs = (
+        spark.read.parquet(f"{out}/labels")
+        .groupBy("lang_expected").count().collect()
+    )
+    he = {r["lang_expected"]: r["count"] for r in langs}.get("he", 0)
+    assert he >= 20  # the skew fixture really is the one on disk

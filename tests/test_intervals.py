@@ -71,3 +71,53 @@ def test_rejects_bad_width(spark, pts_iv):
     pts, iv = pts_iv
     with pytest.raises(ValueError):
         interval_join(pts, iv, "value", "lo", "hi", 0)
+
+
+def test_hot_bucket_triggers_aqe_skew_split(spark):
+    """Round-3 verdict #5: the docstring claims a skewed value
+    distribution lands on AQE's skew split like any other hot equi-key —
+    prove it.  40k points pile into ONE bucket (the pathological
+    distribution); with broadcast off and test-scaled skew thresholds,
+    the FINAL adaptive plan must show the hot partition actually split
+    (SortMergeJoin(skew=true) / AQEShuffleRead skewed), i.e. the hot
+    bucket is not one unsplittable task.  Correctness under the same
+    skew is asserted too (every hot pair produced exactly once)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pts = spark.range(40_000).select(
+            (F.rand(seed=1) * 9.0).alias("v")
+        ).union(
+            spark.range(8_000).select((F.col("id") * 10.0 + 5.0).alias("v"))
+        )
+        iv = spark.range(5).select(
+            (F.col("id") * 0.0).alias("lo"),
+            F.lit(10.0).alias("hi"),
+            F.col("id").alias("ivid"),
+        )
+        out = interval_join(pts, iv, "v", "lo", "hi", bucket_width=10.0)
+        n = out.groupBy().count().collect()[0]["count"]
+        # every point inside [0, 10) matches all 5 intervals exactly once:
+        # the 40k hot points plus the tail point at v=5.0 (id=0)
+        assert n == (40_000 + 1) * 5
+        # materialize THIS DataFrame's own query execution so the
+        # adaptive plan is final, then pin the skew split
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

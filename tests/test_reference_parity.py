@@ -240,3 +240,57 @@ def test_notebook_entities():
         ("UNKNOWN", "ירושלים 10, תל אביב"),
         ("ID_NUMBER", "123456789"),
     ]
+
+
+def test_classify_bank_byte_equals_reference_source():
+    """Round-3 verdict #4: CLASSIFY_PATTERNS must byte-equal the regex
+    strings in the reference source itself
+    (/root/reference/src/inference.py:161-186) — so the pin bottoms out
+    in the reference, not in this repo's own history.  The dict literal
+    is extracted by AST, not by line numbers, so harmless reformatting
+    of the reference would not break the test."""
+    import ast
+
+    from pii_redactor_spark.core.patterns import CLASSIFY_PATTERNS
+
+    src_path = "/root/reference/src/inference.py"
+    try:
+        with open(src_path) as f:
+            tree = ast.parse(f.read())
+    except OSError:
+        import pytest
+
+        pytest.skip("reference source not available in this environment")
+    banks = None
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Return) or not isinstance(
+            node.value, ast.Dict
+        ):
+            continue
+        try:
+            cand = ast.literal_eval(node.value)
+        except ValueError:
+            continue
+        if isinstance(cand, dict) and set(cand) == set(CLASSIFY_PATTERNS):
+            banks = cand
+            break
+    assert banks is not None, "classification dict not found in reference"
+    # byte-for-byte: same types, same order, same pattern strings
+    assert list(banks) == list(CLASSIFY_PATTERNS)
+    assert banks == CLASSIFY_PATTERNS
+
+
+def test_shared_tables_match_pins():
+    """The engine/oracle shared data tables (pattern banks, gazetteers,
+    stopwords, generator lists, templates) must match their checked-in
+    SHA-256 pins — a drifted constant would silently move BOTH sides of
+    the correctness gate (round-3 verdict #4)."""
+    from pii_redactor_spark.fixtures.table_pins import (
+        assert_shared_tables_pinned,
+        shared_table_digests,
+    )
+
+    assert_shared_tables_pinned()
+    # and the digest really is content-sensitive, not a constant
+    digests = shared_table_digests()
+    assert len(set(digests.values())) == len(digests)

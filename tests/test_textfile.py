@@ -111,6 +111,34 @@ def test_encoding_latin1_round_trip(spark, tmp_root):
     assert "[EMAIL_REDACTED]" in got  # redaction really ran
 
 
+def test_non_ascii_compatible_encodings_rejected(spark, tmp_root):
+    """Round-3 advice: UTF-16/32 (wide code units) and EBCDIC (non-ASCII
+    single-byte) break the CSV line path's newline framing — they must
+    fail loudly up front, never silently corrupt lines at split
+    boundaries.  ASCII-compatible charsets keep working."""
+    import pytest
+
+    from pii_redactor_spark.sources.textfile import (
+        _require_ascii_compatible,
+        read_text_lines,
+    )
+
+    inp = f"{tmp_root}/wide_in.txt"
+    with open(inp, "wb") as f:
+        f.write("hello\nworld\n".encode("utf-16"))
+    for bad in ("UTF-16", "utf-32", "UTF-16LE", "cp500"):
+        with pytest.raises(ValueError, match="ASCII-compatible"):
+            read_text_lines(spark, inp, encoding=bad)
+        with pytest.raises(ValueError, match="ASCII-compatible"):
+            scrub_text_file(spark, inp, f"{tmp_root}/wide_out",
+                            encoding=bad)
+    with pytest.raises(ValueError, match="unknown encoding"):
+        _require_ascii_compatible("no-such-charset")
+    # the single-byte / UTF-8-family allow side stays open
+    for ok in ("ISO-8859-1", "latin-1", "cp1252", "koi8-r", "shift_jis"):
+        _require_ascii_compatible(ok)
+
+
 def test_encoding_blank_lines_error_and_drop(spark, tmp_root):
     """Blank lines cannot round-trip through the non-UTF-8 CSV charset
     path (univocity skips empty rows on read AND write) — default is a

@@ -256,5 +256,38 @@ def test_joined_path_null_text_flag_total(spark):
     rows = {r["doc_id"]: r for r in
             with_toxicity_joined(df, "text", lex, "doc_id").collect()}
     assert rows["n1"]["toxic_flag"] is False      # total, not NULL
-    assert rows["n1"]["n_toxic"] is None          # no tokens scored
+    assert rows["n1"]["n_toxic"] == 0             # NULL scores as empty text
+    assert rows["n1"]["toxicity"] == 0.0
     assert rows["n2"]["toxic_flag"] is True
+
+
+def test_expressions_total_under_legacy_sizeofnull(spark):
+    """Round-3 advice: under spark.sql.ansi.enabled=false +
+    legacy.sizeOfNull (size(NULL) = -1), the old expressions scored NULL
+    captions n_toxic=-1, toxicity=1.0 — silently dropping every
+    NULL-caption row through the keep gate.  The NULL→'' fold in _tokens
+    must make all three columns total and zero under BOTH regimes."""
+    df = spark.createDataFrame(
+        [("n1", None, True), ("n2", "slow slow", True)],
+        "doc_id string, text string, keep boolean",
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.ansi.enabled", "spark.sql.legacy.sizeOfNull")
+    }
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+        rows = {r["doc_id"]: r for r in
+                with_toxicity(df, "text", keep_col="keep").collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert rows["n1"]["n_toxic"] == 0
+    assert rows["n1"]["toxicity"] == 0.0
+    assert rows["n1"]["toxic_flag"] is False
+    assert rows["n1"]["keep"] is True
+    assert rows["n2"]["keep"] is False

@@ -45,7 +45,7 @@ def ensure_fixture() -> str:
         fixture_is_fresh,
     )
 
-    if fixture_is_fresh(FIXTURE, ROWS):
+    if fixture_is_fresh(FIXTURE, ROWS, partitions=256):
         return f"{FIXTURE}/images"
     from pii_redactor_spark.session import get_spark
 
