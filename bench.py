@@ -78,6 +78,7 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     by_length = _scrub_by_length_bucket(spark)
     image_decode = _image_decode_bench(spark)
+    dedup_scale = _dedup_scale_bench(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -92,6 +93,8 @@ def main() -> None:
     }
     if image_decode is not None:
         out["image_decode"] = image_decode
+    if dedup_scale is not None:
+        out["dedup_scale"] = dedup_scale
     prev = _previous_round_timings()
     if prev:
         out["prev_delta"] = {
@@ -199,6 +202,105 @@ def _image_decode_bench(spark) -> dict | None:
         import traceback
 
         print(f"# image_decode leg failed: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def _dedup_scale_bench(spark) -> dict | None:
+    """At-scale timing for the dedup/decontamination family (round-3
+    verdict #2): the max_df salted-chain cap, winnowed substring sketch,
+    broadcast bench-set semi-join, and LSH+components dedup are the parts
+    of these operators that only matter beyond the 5k-doc sf corpus, so
+    they are timed here on a cached 200k-doc synthetic corpus with the
+    planted structure they exist for (near-dup clusters, a 30%-hot
+    boilerplate prefix, unique bodies — fixtures/dedup_corpus.py).
+
+    Also records the bounded-task evidence: the largest (shingle, salt)
+    chain-window group in rows and text bytes — the quantity the salting
+    exists to bound (an unsalted window would see the full hot posting
+    list, ~0.3*n rows, in ONE task).  Returns None on any failure; the
+    headline bench never dies on this leg.  ``BENCH_DEDUP_ROWS=0`` skips
+    it."""
+    try:
+        from pii_redactor_spark.fixtures.dedup_corpus import (
+            bench_slice,
+            ensure_cached_dedup_corpus,
+        )
+        from pii_redactor_spark.operators.dedup import (
+            CHAIN_SALT_BUCKETS,
+            decontaminate,
+            dedupe_near,
+            sparse_jaccard_pairs,
+            substring_dup_pairs,
+            with_shingles,
+        )
+
+        rows = int(os.environ.get("BENCH_DEDUP_ROWS", "200000"))
+        if rows <= 0:
+            return None
+        path = ensure_cached_dedup_corpus(
+            spark, f"/root/repo/.cache/dedup_fx_{rows}", rows
+        )
+        docs = spark.read.parquet(path)
+
+        out: dict = {"n_docs": rows}
+
+        def leg(name, thunk):
+            # build INSIDE the timer: dedupe_near's iterative components
+            # run eagerly at DataFrame-construction time (localCheckpoint
+            # + convergence counts), so constructing outside would leave
+            # the real work untimed
+            t0 = time.perf_counter()
+            n = thunk().count()
+            dt = time.perf_counter() - t0
+            out[name] = {
+                "sec": round(dt, 3),
+                "docs_per_sec": round(rows / dt, 1),
+                "out_rows": n,
+            }
+
+        from pyspark.sql import functions as F
+
+        leg("sparse_jaccard_capped", lambda: sparse_jaccard_pairs(
+            docs, "doc_id", "text", k=3, max_df=1000))
+        leg("substring_dup_winnowed", lambda: substring_dup_pairs(
+            docs, window=40, winnow=8, max_df=100))
+        leg("decontaminate", lambda: decontaminate(
+            docs, bench_slice(spark, rows)))
+        leg("dedupe_near", lambda: dedupe_near(docs, min_jaccard=0.7))
+
+        # bounded-task evidence: biggest (shingle, salt) chain group vs
+        # the hot posting list an unsalted window would funnel into one
+        # task (~0.3*rows for the boilerplate shingles)
+        sh = with_shingles(docs, "text", 3).select(
+            "doc_id",
+            F.length("text").alias("_len"),
+            F.explode("shingles").alias("shingle"),
+        )
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > 1000)
+        )
+        grp = (
+            sh.join(hot, "shingle", "left_semi")
+            .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64("doc_id"), F.lit(CHAIN_SALT_BUCKETS)),
+            )
+            .groupBy("shingle", "_salt")
+            .agg(F.count("*").alias("n"), F.sum("_len").alias("b"))
+            .agg(F.max("n").alias("max_rows"), F.max("b").alias("max_bytes"))
+            .collect()[0]
+        )
+        out["max_hot_chain_group_rows"] = int(grp["max_rows"] or 0)
+        out["max_hot_chain_group_bytes"] = int(grp["max_bytes"] or 0)
+        out["unsalted_would_be_rows"] = int(rows * 0.3)
+        return out
+    except Exception as exc:
+        import traceback
+
+        print(f"# dedup_scale leg failed: {exc!r}", file=sys.stderr)
         traceback.print_exc(file=sys.stderr)
         return None
 

@@ -18,6 +18,7 @@ def test_bench_emits_one_json_line():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         BENCH_IMAGE_ROWS="2000",
+        BENCH_DEDUP_ROWS="5000",
     )
     proc = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"],
@@ -34,3 +35,12 @@ def test_bench_emits_one_json_line():
     # the image-axis leg must be present and sane (pixel decode path)
     assert out["image_decode"]["n_images"] == 2000
     assert out["image_decode"]["images_per_sec"] > 0
+    # the dedup-at-scale leg must be present and sane (round-3 verdict #2)
+    ds = out["dedup_scale"]
+    assert ds["n_docs"] == 5000
+    for op in ("sparse_jaccard_capped", "substring_dup_winnowed",
+               "decontaminate", "dedupe_near"):
+        assert ds[op]["docs_per_sec"] > 0, op
+    # bounded-task evidence: the salted chain group stays far below the
+    # hot posting list an unsalted window would see
+    assert 0 < ds["max_hot_chain_group_rows"] < ds["unsalted_would_be_rows"]

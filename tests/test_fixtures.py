@@ -137,3 +137,46 @@ def test_fixture_cache_keyed_on_config(spark, tmp_root):
     )
     he = {r["lang_expected"]: r["count"] for r in langs}.get("he", 0)
     assert he >= 20  # the skew fixture really is the one on disk
+
+
+def test_dedup_bench_corpus_structure(spark):
+    """The at-scale dedup bench corpus must actually contain the planted
+    structures its legs exist to exercise: near-dup clusters (high
+    within-cluster Jaccard), a hot boilerplate prefix on ~30% of docs,
+    and a contaminating bench slice."""
+    from pii_redactor_spark.fixtures.dedup_corpus import (
+        BOILERPLATE,
+        CLUSTER_SIZE,
+        bench_slice,
+        dedup_bench_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    n = 2_000
+    docs = dedup_bench_corpus(spark, n)
+    assert docs.count() == n
+    # deterministic under parallelism: same rows from 1 vs 8 partitions
+    one = {r["doc_id"]: r["text"]
+           for r in docs.coalesce(1).collect()}
+    eight = {r["doc_id"]: r["text"]
+             for r in docs.repartition(8).collect()}
+    assert one == eight
+    # ~30% boilerplate prefix
+    boiler = sum(t.startswith(BOILERPLATE) for t in one.values())
+    assert abs(boiler / n - 0.3) < 0.01
+    # within-cluster token overlap is near-total (one mutation per member)
+    toks0 = set(one[3].split())    # members 3,4: no boilerplate (id%10>=3)
+    toks1 = set(one[4].split())
+    inter = len(toks0 & toks1)
+    assert inter / len(toks0 | toks1) > 0.85
+    # across clusters: near-disjoint bodies
+    other = set(one[3 + CLUSTER_SIZE].split())
+    assert len(toks0 & other) < 10
+    # bench slice re-generates base texts => real contamination exists
+    bench = {r["doc_id"]: r["text"]
+             for r in bench_slice(spark, n, limit=20).collect()}
+    contaminated = [
+        d for d, t in bench.items()
+        if d in one and one[d].endswith(t[-40:])
+    ]
+    assert contaminated, "bench slice contaminates nothing"
