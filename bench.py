@@ -193,11 +193,27 @@ def _image_decode_bench(spark) -> dict | None:
         t0 = time.perf_counter()
         force(decode_stats(imgs).select("image_id"))
         dt = time.perf_counter() - t0
-        return {
+        out = {
             "n_images": rows,
             "sec": round(dt, 3),
             "images_per_sec": round(rows / dt, 1),
         }
+        # real-JPEG-only split (round 4: the lossy 20% is genuine baseline
+        # JFIF now — report its Huffman+IDCT decode rate separately)
+        from pyspark.sql import functions as F
+
+        jp = imgs.where(F.col("fmt") == "jpeg")
+        n_jpeg = jp.count()
+        if n_jpeg:
+            t0 = time.perf_counter()
+            force(decode_stats(jp).select("image_id"))
+            dt = time.perf_counter() - t0
+            out["jpeg_only"] = {
+                "n_images": n_jpeg,
+                "sec": round(dt, 3),
+                "images_per_sec": round(n_jpeg / dt, 1),
+            }
+        return out
     except Exception as exc:
         import traceback
 

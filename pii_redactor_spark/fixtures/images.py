@@ -207,7 +207,9 @@ def write_fixture_tables(
 # NOT a package glob — so edits to unrelated fixture-package modules
 # (oracle_cache.py is ~400 lines of oracle logic) don't force multi-minute
 # benchmark-fixture regeneration.
-_GENERATOR_SOURCES = ("__init__.py", "captions.py", "codecs.py", "images.py")
+_GENERATOR_SOURCES = (
+    "__init__.py", "captions.py", "codecs.py", "images.py", "jpeg.py",
+)
 
 
 def fixture_fingerprint() -> str:

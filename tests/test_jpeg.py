@@ -1,0 +1,171 @@
+"""Real baseline JPEG codec (fixtures/jpeg.py): round-trip fidelity, spec
+structure, restart resync, 4:2:0, and honest failure guards."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pii_redactor_spark.fixtures.codecs import psnr
+from pii_redactor_spark.fixtures.jpeg import (
+    AC_LUM_BITS,
+    AC_LUM_VALS,
+    DC_LUM_BITS,
+    DC_LUM_VALS,
+    QUANT_LUM,
+    ZIGZAG,
+    _quality_scale,
+    _seg,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _noise(h, w):
+    return RNG.integers(0, 255, (h, w, 3)).astype(np.uint8)
+
+
+def _smooth(h, w):
+    base = RNG.integers(0, 255, (h // 16 + 2, w // 16 + 2, 3)).astype(float)
+    img = np.kron(base, np.ones((16, 16, 1)))[:h, :w, :]
+    return np.clip(img + RNG.normal(0, 3, img.shape), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_psnr_gate_at_fixture_quality():
+    """The north rule's lossy gate: >= 40 dB.  Uniform noise is the
+    worst case for DCT quantization — if it clears, everything does."""
+    px = _noise(64, 64)
+    out = decode_jpeg(encode_jpeg(px, quality=98))
+    assert psnr(px, out) >= 40.0
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (33, 17), (64, 64), (50, 70)])
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_round_trip_shapes(shape, subsampling):
+    px = _smooth(*shape)
+    out = decode_jpeg(encode_jpeg(px, 95, subsampling=subsampling))
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 30.0
+
+
+def test_deterministic_bytes():
+    px = _smooth(40, 24)
+    assert encode_jpeg(px, 92) == encode_jpeg(px, 92)
+
+
+def test_stream_is_structurally_real_jpeg():
+    """SOI/EOI framing plus every mandatory baseline segment, so any
+    external decoder accepts the file."""
+    b = encode_jpeg(_smooth(24, 24), 90)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4",
+                   b"\xff\xda"):
+        assert marker in b, marker
+    assert b"JFIF\x00" in b
+    assert b.count(b"\xff\xdb") >= 2 and b.count(b"\xff\xc4") >= 4
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_restart_markers_resync(subsampling):
+    """DRI/RSTn streams decode to the identical pixels as the unmarked
+    stream (DC predictors reset at every boundary)."""
+    px = _smooth(64, 48)
+    plain = decode_jpeg(encode_jpeg(px, 95, subsampling=subsampling))
+    marked_bytes = encode_jpeg(
+        px, 95, restart_interval=3, subsampling=subsampling
+    )
+    assert b"\xff\xdd" in marked_bytes            # DRI present
+    assert b"\xff\xd0" in marked_bytes            # at least RST0
+    assert np.array_equal(plain, decode_jpeg(marked_bytes))
+
+
+def test_420_chroma_really_subsampled():
+    """4:2:0 files must be materially smaller (half the chroma blocks) —
+    the point of the layout."""
+    px = _smooth(64, 64)
+    assert len(encode_jpeg(px, 95, subsampling="420")) < 0.85 * len(
+        encode_jpeg(px, 95, subsampling="444")
+    )
+
+
+def test_quality_dial_monotone():
+    px = _noise(32, 32)
+    sizes = [len(encode_jpeg(px, q)) for q in (50, 75, 92, 98)]
+    psnrs = [psnr(px, decode_jpeg(encode_jpeg(px, q)))
+             for q in (50, 75, 92, 98)]
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_grayscale_single_component_decodes():
+    """The decoder handles 1-component baseline streams (a real web-scrape
+    case); built here from the module's own primitives."""
+    from pii_redactor_spark.fixtures.jpeg import (
+        _BitWriter,
+        _build_encode_table,
+        _encode_block,
+        _encode_plane_coeffs,
+    )
+
+    gray = np.clip(
+        np.add.outer(np.arange(16) * 8, np.arange(16) * 8), 0, 255
+    ).astype(np.uint8)
+    q = _quality_scale(QUANT_LUM, 95)
+    zz = _encode_plane_coeffs(gray.astype(np.float64), q)
+    dc = _build_encode_table(DC_LUM_BITS, DC_LUM_VALS)
+    ac = _build_encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for n in range(zz.shape[0]):
+        pred = _encode_block(bw, zz[n].tolist(), pred, dc, ac)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + q[ZIGZAG].astype(np.uint8).tobytes())
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00] + DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x10] + AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out + b"\xff\xd9"
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (16, 16, 3)
+    # gray replicated across channels, close to the source
+    assert np.array_equal(px[..., 0], px[..., 1])
+    assert float(np.abs(px[..., 0].astype(int) - gray.astype(int)).mean()) < 4
+
+
+def test_honest_guards():
+    px = _smooth(16, 16)
+    good = bytearray(encode_jpeg(px, 95))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + bytes(good[2:]))    # no SOI
+    i = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2                                 # SOF2 progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_codecs_entry_points_use_real_jpeg():
+    """fixtures.codecs lossy path emits genuine JFIF now; legacy LQI1
+    payloads stay decodable for pre-round-4 cached fixtures."""
+    import zlib
+
+    from pii_redactor_spark.fixtures.codecs import (
+        decode_image,
+        decode_lossy,
+        encode_lossy,
+    )
+
+    px = _noise(24, 24)
+    data = encode_lossy(px)
+    assert data[:2] == b"\xff\xd8"
+    assert psnr(px, decode_image(data, "jpeg")) >= 40.0
+    legacy = (b"LQI1" + struct.pack(">HH", 4, 4)
+              + zlib.compress(bytes(48)))
+    assert decode_lossy(legacy).shape == (4, 4, 3)
