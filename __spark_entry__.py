@@ -1999,6 +1999,131 @@ def q_embedding_semdedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select("vec_id").join(dup, "vec_id", "left_anti")
 
 
+def q_order_priority_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the reduced schema): orders in a
+    one-year window having >= 1 returned line (EXISTS semi-join standing
+    in for the commit<receipt predicate the testdata lacks), counted per
+    priority.  The semi-join keeps orders distinct without a dedup; the
+    lineitem side is filtered BEFORE the join so only returned lines
+    shuffle."""
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = _t(spark, sf, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_brand_size_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand x size x quantity bands).  The partkey
+    equi-join carries the disjunction as a residual condition; part is
+    broadcast (small dim), and each disjunct's single-side conjuncts
+    still push into the scans."""
+    li = _t(spark, sf, "lineitem")
+    part = F.broadcast(_t(spark, sf, "part"))
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(part, (li.l_partkey == part.p_partkey) & bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_priority_share_by_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: lineitem->orders equi-join + conditional
+    aggregation (urgent/high vs other priority counts per return flag,
+    one shipping year).  One shuffle join (AQE-planned), one hash agg;
+    the CASE sums are partial-aggregated map-side."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q_slowest_supplier_per_order(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (semi + anti SELF-joins with a non-equi residual):
+    per supplier, how many 'F'-status multi-supplier orders where THIS
+    supplier's line shipped strictly after every other supplier's line.
+
+    l1 SEMI-joins l2 (same order, different supplier => multi-supplier)
+    and ANTI-joins l3 (same order, different supplier, shipped later) —
+    both hash joins on l_orderkey with the supplier/date residuals
+    evaluated on collisions, never a cartesian.  Counts l1 lines per the
+    canonical form; top 10 by numwait with name tiebreak."""
+    li = _t(spark, sf, "lineitem")
+    f_orders = _t(spark, sf, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = li.join(
+        f_orders, li.l_orderkey == f_orders.o_orderkey, "left_semi"
+    ).alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    sup = F.broadcast(_t(spark, sf, "supplier"))
+    return (
+        waiting.join(sup, F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # image-axis queries (round-4 verdict #3): give the multimodal surface the
 # same driver-oracle status as text.  The testdata has no image table, so a
@@ -2188,6 +2313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_hist": q_embedding_lsh_hist,
         "embedding_ivf_cells": q_embedding_ivf_cells,
         "embedding_semdedup_survivors": q_embedding_semdedup_survivors,
+        "order_priority_count": q_order_priority_count,
+        "brand_size_revenue": q_brand_size_revenue,
+        "priority_share_by_returnflag": q_priority_share_by_returnflag,
+        "slowest_supplier_per_order": q_slowest_supplier_per_order,
         "image_phash_neardup": q_image_phash_neardup,
         "image_quality_flags": q_image_quality_flags,
         "image_dedup_survivors": q_image_dedup_survivors,
@@ -3243,6 +3372,61 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY label, r.i
             )
             GROUP BY label
+        """,
+        "order_priority_count": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= '1996-01-01'
+              AND o.o_orderdate < '1997-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "brand_size_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "priority_share_by_returnflag": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "slowest_supplier_per_order": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l1.l_orderkey
+                    AND o.o_orderstatus = 'F')
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
         "image_phash_neardup": f"""
             WITH {_IMAGE_META_SQL}

@@ -281,3 +281,23 @@ def test_ordered_text_sink_udf_above_range_exchange(spark, tmp_root):
     # larger id = later (downstream) in formatted explain numbering: the
     # UDF must evaluate after the range exchange, not feed it
     assert int(udf.group(1)) > max(exchanges), plan
+
+
+def test_round4_tpch_shapes_are_hash_joins(spark):
+    """The Q4/Q19/Q21-shape queries must plan as hash joins with residual
+    conditions (semi/anti with non-equi residuals on the equi key) —
+    never CartesianProduct / BroadcastNestedLoopJoin."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("order_priority_count", "brand_size_revenue",
+                 "priority_share_by_returnflag",
+                 "slowest_supplier_per_order"):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the Q21 shape specifically: both a LeftSemi and a LeftAnti
+    plan = _plan(qs["slowest_supplier_per_order"](
+        spark, "/root/testdata/sf0.001"
+    ))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
