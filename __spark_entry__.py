@@ -2471,30 +2471,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_toxicity_joined": """
             -- same oracle as doc_toxicity_scrub: the joined path must agree
+            -- COALESCE mirrors the engine's NULL-to-'' fold in
+            -- functions.toxicity._tokens: NULL text scores 0/0.0/''
+            -- on BOTH sides (round-4 parity fix)
             SELECT doc_id,
-                   CAST(LEN(LIST_FILTER(string_split(text, ' '),
+                   CAST(LEN(LIST_FILTER(string_split(COALESCE(text, ''), ' '),
                        t -> t IN ('slow', 'dup', 'junk'))) AS INT)
                        AS n_toxic,
-                   ROUND(LEN(LIST_FILTER(string_split(text, ' '),
+                   ROUND(LEN(LIST_FILTER(string_split(COALESCE(text, ''), ' '),
                              t -> t IN ('slow', 'dup', 'junk'))) * 1.0
-                         / LEN(string_split(text, ' ')), 4) AS toxicity,
+                         / LEN(string_split(COALESCE(text, ''), ' ')), 4)
+                       AS toxicity,
                    ARRAY_TO_STRING(
-                       LIST_TRANSFORM(string_split(text, ' '),
+                       LIST_TRANSFORM(string_split(COALESCE(text, ''), ' '),
                            t -> CASE WHEN t IN ('slow', 'dup', 'junk')
                                 THEN '[TOXIC]' ELSE t END),
                        ' ') AS masked
             FROM documents
         """,
         "doc_toxicity_scrub": """
+            -- COALESCE mirrors the engine's NULL-to-'' fold in
+            -- functions.toxicity._tokens: NULL text scores 0/0.0/''
+            -- on BOTH sides (round-4 parity fix)
             SELECT doc_id,
-                   CAST(LEN(LIST_FILTER(string_split(text, ' '),
+                   CAST(LEN(LIST_FILTER(string_split(COALESCE(text, ''), ' '),
                        t -> t IN ('slow', 'dup', 'junk'))) AS INT)
                        AS n_toxic,
-                   ROUND(LEN(LIST_FILTER(string_split(text, ' '),
+                   ROUND(LEN(LIST_FILTER(string_split(COALESCE(text, ''), ' '),
                              t -> t IN ('slow', 'dup', 'junk'))) * 1.0
-                         / LEN(string_split(text, ' ')), 4) AS toxicity,
+                         / LEN(string_split(COALESCE(text, ''), ' ')), 4)
+                       AS toxicity,
                    ARRAY_TO_STRING(
-                       LIST_TRANSFORM(string_split(text, ' '),
+                       LIST_TRANSFORM(string_split(COALESCE(text, ''), ' '),
                            t -> CASE WHEN t IN ('slow', 'dup', 'junk')
                                 THEN '[TOXIC]' ELSE t END),
                        ' ') AS masked
@@ -2508,9 +2516,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM (
                 SELECT lang,
-                       LEN(LIST_FILTER(string_split(text, ' '),
+                       LEN(LIST_FILTER(string_split(COALESCE(text, ''), ' '),
                            t -> t IN ('slow', 'dup', 'junk'))) * 1.0
-                       / LEN(string_split(text, ' ')) AS tox
+                       / LEN(string_split(COALESCE(text, ''), ' ')) AS tox
                 FROM documents
             ) GROUP BY lang
         """,

@@ -87,13 +87,27 @@ def dedup_bench_corpus(spark: SparkSession, n_rows: int) -> DataFrame:
 
 def bench_slice(spark: SparkSession, n_rows: int, every: int = 37,
                 limit: int = 500) -> DataFrame:
-    """The benchmark set for decontamination: every ``every``-th base
-    doc's text (same seed recipe, no boilerplate/mutation), capped at
-    ``limit`` rows — small enough to broadcast, contaminating ~limit
-    train docs plus their cluster siblings."""
+    """The benchmark set for decontamination: every ``every``-th doc's
+    base text (the corpus's OWN seed recipe — including the cluster seed
+    for ids in the clustered range — without boilerplate or the member
+    mutation), capped at ``limit`` rows: small enough to broadcast, and
+    every row genuinely contaminates its source doc (identical body
+    minus one token => shared 5-grams), with clustered ids contaminating
+    the whole cluster.  Round-4 review fix: the slice previously seeded
+    clustered ids with the raw id, producing phantom rows that matched
+    no corpus text at all (~22% of the slice at the bench default)."""
+    n_clustered = int(n_rows * CLUSTERED_FRACTION) // CLUSTER_SIZE
+    n_clustered *= CLUSTER_SIZE
     ids = spark.range(limit).select(
         (F.col("id") * every % n_rows).alias("id")
-    ).withColumn("_seed", F.col("id"))
+    ).withColumn(
+        "_seed",
+        F.expr(
+            f"IF(id < {n_clustered}, "
+            f"CAST(floor(id / {CLUSTER_SIZE}) * 7919 + 1000000000 AS LONG), "
+            "id)"
+        ),
+    )
     return ids.select(
         F.col("id").alias("doc_id"),
         _text_expr("_seed", mutate_pos=None).alias("text"),

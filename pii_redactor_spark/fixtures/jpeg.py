@@ -169,76 +169,6 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
 
 
-class _BitReader:
-    """MSB-first bit reader with 0xFF-unstuffing and marker-edge 1-padding.
-
-    Keeps >= 25 bits buffered so the Huffman fast path can peek 8 bits
-    and amplitude reads up to 16 bits without per-bit Python overhead."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
-
-    def _fill(self, need: int) -> None:
-        data, pos = self.data, self.pos
-        acc, n = self._acc, self._n
-        while n < need:
-            b = data[pos]
-            if b == 0xFF:
-                nxt = data[pos + 1]
-                if nxt == 0x00:            # stuffed data byte
-                    pos += 2
-                else:
-                    # marker edge (RSTn / EOI / next segment): 1-pad
-                    # WITHOUT consuming — a lookahead may overrun the
-                    # final symbol's real bits by up to 7 padding bits,
-                    # and sync_restart() scans from pos to eat the RSTn
-                    acc = (acc << 8) | 0xFF
-                    n += 8
-                    continue
-            else:
-                pos += 1
-            acc = (acc << 8) | b
-            n += 8
-        self.data, self.pos = data, pos
-        self._acc, self._n = acc, n
-
-    def peek8(self) -> int:
-        if self._n < 8:
-            self._fill(8)
-        return (self._acc >> (self._n - 8)) & 0xFF
-
-    def skip(self, k: int) -> None:
-        self._n -= k
-
-    def bit(self) -> int:
-        if self._n < 1:
-            self._fill(1)
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self._n < n:
-            self._fill(n)
-        self._n -= n
-        return (self._acc >> self._n) & ((1 << n) - 1)
-
-    def sync_restart(self) -> None:
-        """Consume an RSTn marker at a restart boundary."""
-        self._acc = 0
-        self._n = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
-            self.pos += 1
-        m = self.data[self.pos + 1]
-        if not (0xD0 <= m <= 0xD7):
-            raise ValueError(f"expected RSTn at {self.pos}, got {m:#x}")
-        self.pos += 2
-
-
 # --- Huffman -----------------------------------------------------------------
 
 
@@ -291,26 +221,6 @@ class _HuffDecoder:
                 k += 1
             code <<= 1
         self.lookup = look
-
-    def decode(self, reader: _BitReader) -> int:
-        hit = self.lookup[reader.peek8()]
-        if hit is not None:
-            reader.skip(hit[1])
-            return hit[0]
-        code = reader.bits(self._LOOKAHEAD)
-        length = self._LOOKAHEAD
-        while code > self.maxcode[length]:
-            code = (code << 1) | reader.bit()
-            length += 1
-            if length > 16:
-                raise ValueError("corrupt JPEG: huffman code > 16 bits")
-        return self.vals[self.valptr[length] + code - self.mincode[length]]
-
-
-def _extend(v: int, size: int) -> int:
-    """T.81 F.2.2.1: map `size` magnitude bits to a signed value."""
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
 
 # --- color -------------------------------------------------------------------
 
@@ -517,6 +427,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:      # T.81 B.1.1.2: optional 0xFF fill bytes
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -616,9 +529,11 @@ def _decode_scan(data, pos, frame, scomps, qtabs, huff_dc, huff_ac,
     while mcu < total:
         if restart_interval and mcu and mcu % restart_interval == 0:
             # resync: drop padding bits, consume the RSTn marker
+            # (skipping stuffed data bytes and 0xFF fill bytes)
             acc = 0
             nb = 0
-            while data[pos] != 0xFF or data[pos + 1] == 0x00:
+            while (data[pos] != 0xFF
+                   or data[pos + 1] in (0x00, 0xFF)):
                 pos += 1
             if not (0xD0 <= data[pos + 1] <= 0xD7):
                 raise ValueError(

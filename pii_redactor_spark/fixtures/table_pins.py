@@ -90,18 +90,31 @@ def shared_table_digests() -> dict[str, str]:
     }
 
 
-def assert_shared_tables_pinned() -> None:
-    """Raise if any shared table drifted from its checked-in pin."""
-    got = shared_table_digests()
+def _load_expected() -> dict:
+    """Read the pin file through importlib.resources so it resolves both
+    from the filesystem AND from a ``--py-files`` zip import (a plain
+    ``open(__file__)``-relative path can never resolve inside a zip —
+    round-4 review fix; ``make_pyfiles`` now packages ``.json`` too)."""
     try:
-        with open(EXPECTED_PATH) as f:
-            want = json.load(f)
-    except OSError as e:
+        from importlib.resources import files
+
+        return json.loads(
+            files("pii_redactor_spark.fixtures")
+            .joinpath("expected_table_hashes.json")
+            .read_text()
+        )
+    except (OSError, FileNotFoundError) as e:
         raise RuntimeError(
             f"shared-table pin file missing ({EXPECTED_PATH}); regenerate "
             "with `python -m pii_redactor_spark.fixtures.table_pins "
             "--write`"
         ) from e
+
+
+def assert_shared_tables_pinned() -> None:
+    """Raise if any shared table drifted from its checked-in pin."""
+    got = shared_table_digests()
+    want = _load_expected()
     drifted = sorted(
         k for k in set(got) | set(want) if got.get(k) != want.get(k)
     )

@@ -216,6 +216,9 @@ def split_mjpeg_frames(data: bytes) -> list[bytes]:
             if data[p] != 0xFF:
                 raise ValueError(f"marker expected at offset {p}")
             m = data[p + 1]
+            if m == 0xFF:                      # T.81 fill byte(s)
+                p += 1
+                continue
             if m == 0xD9:                      # EOI
                 end = p + 2
                 break

@@ -134,3 +134,36 @@ def test_props_json_oracle_edge_semantics(spark, ddb):
         for row in con.sql(ddb_expr).fetchall()
     ]
     assert got_spark == got_ddb == [69, None, None, -3, None, None, None]
+
+
+def test_toxicity_oracle_null_caption_parity(spark, tmp_root):
+    """Round-4 review: the engine folds NULL text to '' (0 / 0.0 / '')
+    while DuckDB's string_split(NULL) propagates NULL — the oracle SQL
+    carries a COALESCE for parity.  The sf testdata has no NULL texts,
+    so this pins the divergence case directly: both sides must agree on
+    a table CONTAINING a NULL caption."""
+    import duckdb as _dd
+
+    sf_dir = f"{tmp_root}/null_sf"
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "slow day", "en", "s", 8),
+         (2, None, "en", "s", 0),
+         (3, "fine text here", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    con = _dd.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("doc_toxicity_scrub", "doc_toxicity_joined"):
+        s_cols, s_rows = _multiset(
+            entrymod.queries()[name](spark, sf_dir).toPandas()
+        )
+        o_cols, o_rows = _multiset(con.sql(entrymod.oracle_sql()[name]).df())
+        assert s_cols == o_cols, name
+        assert s_rows == o_rows, (name, s_rows, o_rows)
+        # and the NULL row really scored as empty text, not NULL
+        null_row = [r for r in s_rows if r[s_cols.index("doc_id")] == 2][0]
+        assert null_row[s_cols.index("n_toxic")] == 0, null_row

@@ -172,11 +172,23 @@ def test_dedup_bench_corpus_structure(spark):
     # across clusters: near-disjoint bodies
     other = set(one[3 + CLUSTER_SIZE].split())
     assert len(toks0 & other) < 10
-    # bench slice re-generates base texts => real contamination exists
-    bench = {r["doc_id"]: r["text"]
-             for r in bench_slice(spark, n, limit=20).collect()}
-    contaminated = [
-        d for d, t in bench.items()
-        if d in one and one[d].endswith(t[-40:])
-    ]
-    assert contaminated, "bench slice contaminates nothing"
+    # bench slice re-generates base texts => real contamination, with NO
+    # phantom rows (round-4 review: clustered ids must use the cluster
+    # seed, or ~22% of the slice matches nothing)
+    from pii_redactor_spark.operators.dedup import contaminated_ids
+
+    bench = bench_slice(spark, n, limit=20)
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    hit = {
+        r["doc_id"]
+        for r in contaminated_ids(docs, bench, "text", "doc_id").collect()
+    }
+    # every slice row contaminates its own source doc...
+    assert bench_ids <= hit, bench_ids - hit
+    # ...and clustered slice ids take out their whole cluster
+    clustered_bench = sorted(i for i in bench_ids if i < 40)
+    assert clustered_bench, "slice misses the clustered range"
+    for b in clustered_bench:
+        members = set(range(b // CLUSTER_SIZE * CLUSTER_SIZE,
+                            b // CLUSTER_SIZE * CLUSTER_SIZE + CLUSTER_SIZE))
+        assert members <= hit, (b, members - hit)

@@ -169,3 +169,24 @@ def test_codecs_entry_points_use_real_jpeg():
     legacy = (b"LQI1" + struct.pack(">HH", 4, 4)
               + zlib.compress(bytes(48)))
     assert decode_lossy(legacy).shape == (4, 4, 3)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 permits 0xFF fill bytes before any marker — real
+    camera/libjpeg files contain them; the decoder, the restart resync,
+    and the MJPEG segment walker must all skip them (round-4 review)."""
+    from pii_redactor_spark.operators.vision import split_mjpeg_frames
+
+    px = _noise(24, 24)
+    ref = decode_jpeg(encode_jpeg(px, 95))
+    b = bytearray(encode_jpeg(px, 95))
+    i = b.find(b"\xff\xc0")
+    b[i:i] = b"\xff\xff"                   # fill before SOF0
+    j = len(b) - 2
+    b[j:j] = b"\xff\xff\xff"               # fill before EOI
+    assert np.array_equal(decode_jpeg(bytes(b)), ref)
+    assert len(split_mjpeg_frames(bytes(b) * 2)) == 2
+    br = bytearray(encode_jpeg(px, 95, restart_interval=2))
+    k = br.find(b"\xff\xd0")
+    br[k:k] = b"\xff\xff"                  # fill before RST0
+    assert np.array_equal(decode_jpeg(bytes(br)), ref)

@@ -153,3 +153,35 @@ def test_committed_pyfiles_zip_is_fresh():
     assert not stale, f"stale in zip (rerun tools/make_pyfiles.py): {stale}"
     assert not missing, f"missing from zip: {missing}"
     assert not orphans, f"deleted files still in zip: {orphans}"
+
+
+def test_table_pins_resolve_from_pyfiles_zip(tmp_path):
+    """Round-4 review: the shared-table pin file must ship in the
+    --py-files zip AND load through importlib.resources — a plain
+    __file__-relative open() can never resolve inside a zip, which
+    would break the pin gate on every packaged deployment."""
+    import subprocess
+    import sys
+    import zipfile
+
+    sys.path.insert(0, f"{REPO}/tools")
+    import make_pyfiles
+
+    out = str(tmp_path / "pkg.zip")
+    make_pyfiles.build(out)
+    names = zipfile.ZipFile(out).namelist()
+    assert "pii_redactor_spark/fixtures/expected_table_hashes.json" in names
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import pii_redactor_spark;"
+         "assert '.zip' in pii_redactor_spark.__file__,"
+         "pii_redactor_spark.__file__;"
+         "from pii_redactor_spark.fixtures.table_pins import"
+         " assert_shared_tables_pinned;"
+         "assert_shared_tables_pinned();"
+         "print('ok')"],
+        capture_output=True, text=True, timeout=120,
+        cwd=str(tmp_path), env={"PYTHONPATH": out, "PATH": "/usr/bin:/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.strip() == "ok"

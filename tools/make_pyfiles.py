@@ -18,7 +18,9 @@ def build(out: str | None = None) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if fn.endswith(".py"):
+                # .json: checked-in runtime data (the shared-table pins)
+                # must ship with the package or the zip deployment breaks
+                if fn.endswith((".py", ".json")):
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, ROOT)
                     zf.write(full, rel)
