@@ -1999,6 +1999,63 @@ def q_embedding_semdedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select("vec_id").join(dup, "vec_id", "left_anti")
 
 
+def q_multimodal_joint_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """THE north-star keep/drop shape end-to-end: an image+caption row
+    survives iff the CAPTION passes the scrub stage's quality gate (the
+    Arrow-vectorized langid + quality + PII UDF) AND the IMAGE passes the
+    metadata quality gate (min-side / aspect / format — never reading
+    pixels).  One narrow UDF pass + one expression gate + a single hash
+    aggregation of the four keep/drop cells.
+
+    The image side runs the REAL ``operators.vision.image_quality_flags``
+    over the deterministic md5-derived metadata (``_image_metadata``);
+    the caption side is hash-checked against the materialized independent
+    scrub oracle, so BOTH modalities' decisions are driver-oracled in one
+    query."""
+    from pii_redactor_spark.operators.scrub import (
+        parallelize_for_udf,
+        scrub_udf,
+    )
+    from pii_redactor_spark.operators.vision import image_quality_flags
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    cap = docs.select(
+        "doc_id", scrub_udf(F.col("text")).getField("keep").alias("cap_keep")
+    )
+    img = _image_metadata(spark, sf).select(
+        F.col("image_id").alias("doc_id"),
+        (F.size(image_quality_flags()) == 0).alias("img_keep"),
+    )
+    return (
+        cap.join(img, "doc_id")
+        .groupBy("cap_keep", "img_keep")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the query whose
+    entire cost is scan efficiency.  Every predicate (date range,
+    discount band, quantity cap) pushes into the parquet scan
+    (PushedFilters), and the single-row aggregate is partial-combined
+    map-side; nothing shuffles but 1-row partials."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def q_order_priority_count(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4 shape (adapted to the reduced schema): orders in a
     one-year window having >= 1 returned line (EXISTS semi-join standing
@@ -2313,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_hist": q_embedding_lsh_hist,
         "embedding_ivf_cells": q_embedding_ivf_cells,
         "embedding_semdedup_survivors": q_embedding_semdedup_survivors,
+        "multimodal_joint_filter": q_multimodal_joint_filter,
+        "forecast_revenue": q_forecast_revenue,
         "order_priority_count": q_order_priority_count,
         "brand_size_revenue": q_brand_size_revenue,
         "priority_share_by_returnflag": q_priority_share_by_returnflag,
@@ -3380,6 +3439,25 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY label, r.i
             )
             GROUP BY label
+        """,
+        "multimodal_joint_filter": f"""
+            WITH {_IMAGE_META_SQL}
+            SELECT s.keep AS cap_keep,
+                   (least(m.w, m.h) >= 64
+                    AND greatest(m.w, m.h) / least(m.w, m.h) <= 4.0
+                    AND m.fmt IN ('png', 'jpeg')) AS img_keep,
+                   COUNT(*) AS n_rows
+            FROM read_parquet('{scrub_path}') s
+            JOIN m ON s.doc_id = m.image_id
+            GROUP BY 1, 2
+        """,
+        "forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "order_priority_count": """
             SELECT o_orderpriority, COUNT(*) AS order_count

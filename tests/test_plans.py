@@ -103,6 +103,7 @@ def test_relational_queries_have_no_python_nodes(spark):
     udf_backed = {"doc_scrub": 1, "doc_scrub_bytes": 1,
                   "doc_entity_stats": 1, "embedding_ivf_cells": 1,
                   "embedding_kept_lsh_hist": 1,
+                  "multimodal_joint_filter": 1,
                   "embedding_semdedup_survivors": 2}
     oracles = entry.oracle_sql()
     for name, fn in entry.queries().items():
