@@ -414,7 +414,19 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (or replicated gray)."""
+    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (or replicated gray).
+
+    Every parse failure — including truncation, which surfaces as
+    IndexError/struct.error from the raw byte walks — is normalized to
+    ``ValueError`` so batch callers (``operators.vision`` poison-row
+    guards) can treat corrupt web-scrape bytes uniformly."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -200,9 +200,18 @@ def split_mjpeg_frames(data: bytes) -> list[bytes]:
     low quality) can legally contain the 0xFFD9 byte pair, so EOI is
     located by walking marker segments (skipping their declared lengths)
     and entropy regions (honoring byte stuffing and RSTn) — frame
-    boundaries are exact for any baseline stream."""
+    boundaries are exact for any baseline stream.  Truncation surfaces
+    as ValueError (never IndexError) so stream-level callers can guard
+    uniformly."""
     import struct as _struct
 
+    try:
+        return _split_mjpeg_inner(data, _struct)
+    except (IndexError, _struct.error) as e:
+        raise ValueError(f"truncated or corrupt MJPEG stream: {e!r}") from e
+
+
+def _split_mjpeg_inner(data: bytes, _struct) -> list[bytes]:
     frames = []
     n = len(data)
     pos = 0

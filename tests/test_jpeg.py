@@ -190,3 +190,42 @@ def test_fill_bytes_before_markers_tolerated():
     k = br.find(b"\xff\xd0")
     br[k:k] = b"\xff\xff"                  # fill before RST0
     assert np.array_equal(decode_jpeg(bytes(br)), ref)
+
+
+@pytest.mark.parametrize("cut", [4, 20, 100, -3])
+def test_truncation_raises_valueerror_never_indexerror(cut):
+    """Corrupt web-scrape bytes must surface as ValueError — the poison-row
+    guards in operators.vision catch (NotImplementedError, ValueError);
+    a leaking IndexError would kill the whole batch stage."""
+    from pii_redactor_spark.operators.vision import split_mjpeg_frames
+
+    b = encode_jpeg(_smooth(24, 24), 95)
+    cut = cut if cut > 0 else len(b) + cut
+    with pytest.raises(ValueError):
+        decode_jpeg(b[:cut])
+    with pytest.raises(ValueError):
+        split_mjpeg_frames(b[:cut])
+
+
+def test_decode_stats_survives_truncated_jpeg(spark):
+    """End-to-end poison-row contract with the REAL codec: a truncated
+    JPEG row comes back decoded=false; healthy rows are unaffected."""
+    import numpy as np
+
+    from pii_redactor_spark.fixtures.codecs import phash64
+    from pii_redactor_spark.operators.vision import decode_stats
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    good = encode_jpeg(px, 98)
+    rows = [
+        ("ok", bytearray(good), "jpeg", phash64(px)),
+        ("trunc", bytearray(good[: len(good) // 2]), "jpeg", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, phash long"
+    )
+    got = {r["image_id"]: r for r in decode_stats(df).collect()}
+    assert got["ok"]["decoded"] is True
+    assert got["trunc"]["decoded"] is False
+    assert got["trunc"]["w"] is None
