@@ -422,7 +422,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     guards) can treat corrupt web-scrape bytes uniformly."""
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
+        # KeyError backstops corrupt streams whose SOS/SOF reference a
+        # table or component id no segment declared (stripped DHT/DQT,
+        # mangled ids) — _decode_scan validates these explicitly, but any
+        # residual dict miss must still normalize for the poison-row
+        # guards in operators.vision.
         raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
 
 
@@ -521,6 +526,22 @@ def _decode_scan(data, pos, frame, scomps, qtabs, huff_dc, huff_ac,
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
     by_id = {c["id"]: c for c in comps}
+    # Corrupt web-scrape streams can reference tables/components no
+    # segment declared (stripped DHT/DQT, mangled SOS ids); validate with
+    # descriptive ValueErrors instead of letting dict misses surface as
+    # KeyError past the poison-row guards.
+    for cs, td, ta in scomps:
+        if cs not in by_id:
+            raise ValueError(f"SOS references undeclared component {cs}")
+        if td not in huff_dc:
+            raise ValueError(f"missing DC Huffman table {td} (no DHT?)")
+        if ta not in huff_ac:
+            raise ValueError(f"missing AC Huffman table {ta} (no DHT?)")
+    for c in comps:
+        if c["tq"] not in qtabs:
+            raise ValueError(
+                f"missing quantization table {c['tq']} (no DQT?)"
+            )
     order = [(by_id[cs], huff_dc[td], huff_ac[ta]) for cs, td, ta in scomps]
     # Flat per-scan schedule with every table as a plain local — the
     # symbol loop below is fully inlined (no _BitReader method calls):

@@ -207,7 +207,7 @@ def split_mjpeg_frames(data: bytes) -> list[bytes]:
 
     try:
         return _split_mjpeg_inner(data, _struct)
-    except (IndexError, _struct.error) as e:
+    except (IndexError, KeyError, _struct.error) as e:
         raise ValueError(f"truncated or corrupt MJPEG stream: {e!r}") from e
 
 

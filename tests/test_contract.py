@@ -167,3 +167,40 @@ def test_toxicity_oracle_null_caption_parity(spark, tmp_root):
         # and the NULL row really scored as empty text, not NULL
         null_row = [r for r in s_rows if r[s_cols.index("doc_id")] == 2][0]
         assert null_row[s_cols.index("n_toxic")] == 0, null_row
+
+
+def test_image_oracle_null_metadata_parity(spark, tmp_root):
+    """ADVICE r4: for a NULL-text document the engine flags
+    'null_metadata' with keep=false, while the old oracle's concat_ws
+    yielded '' and keep evaluated NULL — the same NULL-parity bug class
+    round 4 fixed for toxicity.  Pin the divergence case directly: both
+    sides must agree on a table CONTAINING a NULL caption (the md5-derived
+    metadata is NULL end-to-end for that row on both engines)."""
+    import duckdb as _dd
+
+    sf_dir = f"{tmp_root}/null_img_sf"
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary caption about a lake", "en", "s", 42),
+         (2, None, "en", "s", 0),
+         (3, "another caption, short", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = _dd.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    name = "image_quality_flags"
+    s_cols, s_rows = _multiset(
+        entrymod.queries()[name](spark, sf_dir).toPandas()
+    )
+    o_cols, o_rows = _multiset(con.sql(entrymod.oracle_sql()[name]).df())
+    assert s_cols == o_cols, (name, s_cols, o_cols)
+    assert s_rows == o_rows, (name, s_rows, o_rows)
+    # and the NULL row really flagged null_metadata with keep=false
+    null_row = [r for r in s_rows if r[s_cols.index("image_id")] == 2][0]
+    assert null_row[s_cols.index("flags_csv")] == "null_metadata", null_row
+    assert null_row[s_cols.index("keep")] is False, null_row

@@ -229,3 +229,67 @@ def test_decode_stats_survives_truncated_jpeg(spark):
     assert got["ok"]["decoded"] is True
     assert got["trunc"]["decoded"] is False
     assert got["trunc"]["w"] is None
+
+
+def _strip_segments(b: bytes, marker: int) -> bytes:
+    """Remove every segment with the given marker byte from a JFIF stream
+    (segment walker over the pre-SOS header region)."""
+    out = bytearray(b[:2])
+    pos = 2
+    while pos < len(b) - 1:
+        assert b[pos] == 0xFF
+        m = b[pos + 1]
+        if m == 0xDA:                       # SOS: keep the rest verbatim
+            out += b[pos:]
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        if m != marker:
+            out += b[pos:pos + 2 + ln]
+        pos += 2 + ln
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: _strip_segments(b, 0xC4), "Huffman table"),
+        (lambda b: _strip_segments(b, 0xDB), "quantization table"),
+    ],
+)
+def test_stripped_tables_raise_valueerror(mutate, msg):
+    """ADVICE r4 (medium): corrupt streams with a stripped DHT/DQT or an
+    SOS referencing an unknown component id must normalize to ValueError
+    (descriptive), never KeyError — the poison-row guards catch only
+    (NotImplementedError, ValueError)."""
+    b = encode_jpeg(_smooth(24, 24), 95)
+    bad = mutate(b)
+    with pytest.raises(ValueError, match=msg):
+        decode_jpeg(bad)
+
+
+def test_sos_unknown_component_raises_valueerror():
+    b = bytearray(encode_jpeg(_smooth(24, 24), 95))
+    i = b.find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) then (cs, tdta) pairs — mangle the first
+    # component selector to an id the SOF never declared.
+    b[i + 5] = 0x77
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_jpeg(bytes(b))
+
+
+def test_poison_guard_survives_stripped_dht(spark):
+    """End-to-end: a stripped-DHT row must flag decoded=false instead of
+    crashing the Spark task (the exact ADVICE failure mode)."""
+    from pii_redactor_spark.operators.vision import decode_stats
+
+    good = encode_jpeg(_smooth(16, 16), 98)
+    rows = [
+        ("ok", bytearray(good), "jpeg", 0),
+        ("no_dht", bytearray(_strip_segments(good, 0xC4)), "jpeg", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, phash long"
+    )
+    got = {r["image_id"]: r for r in decode_stats(df).collect()}
+    assert got["ok"]["decoded"] is True
+    assert got["no_dht"]["decoded"] is False
