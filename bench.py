@@ -178,6 +178,8 @@ def _image_decode_bench(spark) -> dict | None:
     measurement.  Returns None (and omits the field) if anything fails —
     the headline bench must never die on the image leg."""
     try:
+        from pyspark.sql import functions as F
+
         from pii_redactor_spark.fixtures.images import ensure_cached_fixture
         from pii_redactor_spark.operators.vision import decode_stats
 
@@ -193,15 +195,26 @@ def _image_decode_bench(spark) -> dict | None:
         t0 = time.perf_counter()
         force(decode_stats(imgs).select("image_id"))
         dt = time.perf_counter() - t0
+        # self-describing composition (round-4 verdict #8): the number
+        # changed meaning when the lossy rows became real JFIF, so pin the
+        # measured format mix + codec identity into the artifact
+        mix = {
+            r["fmt"]: r["n"]
+            for r in imgs.groupBy("fmt").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
         out = {
             "n_images": rows,
             "sec": round(dt, 3),
             "images_per_sec": round(rows / dt, 1),
+            "png_frac": round(mix.get("png", 0) / max(rows, 1), 4),
+            "jpeg_frac": round(mix.get("jpeg", 0) / max(rows, 1), 4),
+            "codec": "fixtures.jpeg baseline T.81 (pure NumPy) + "
+                     "fixtures.codecs PNG",
         }
         # real-JPEG-only split (round 4: the lossy 20% is genuine baseline
         # JFIF now — report its Huffman+IDCT decode rate separately)
-        from pyspark.sql import functions as F
-
         jp = imgs.where(F.col("fmt") == "jpeg")
         n_jpeg = jp.count()
         if n_jpeg:

@@ -22,6 +22,24 @@ split like any other hot equi-key, and ``bucket_width`` dials the trade
 between interval replication (small width) and residual-filter selectivity
 (large width): width on the order of the median interval length keeps
 replication at ~2x.
+
+**Hot buckets beyond AQE's reach** (round-4 verdict #7): AQE's skew join
+only splits partitions past ``skewedPartitionThresholdInBytes`` (256 MB by
+default) AND ``skewedPartitionFactor`` x the median — a hot value bucket
+below that line, or a plan AQE declines to rewrite, still lands in one
+task.  ``salt_buckets=k`` bounds it STRUCTURALLY, the same move as
+``dedup.sparse_jaccard_pairs``' salted shingle chains: the point side
+scatters each row to one of ``k`` salts (``pmod(xxhash64(all point
+columns), k)``), the interval side replicates each covered bucket across
+all ``k`` salts, and the equi-join keys on ``(bucket, salt)`` — so the
+hottest possible task is ~1/k of the hot bucket at the cost of k-fold
+interval-side replication (intervals are the small side by construction).
+Exactness is unchanged: a point still owns exactly ONE (bucket, salt) and
+the interval covers every salt of that bucket, so each pair appears at
+most once.  Rows that are bit-identical across ALL point columns hash to
+the same salt (deterministic by design — retries must re-derive the same
+key); genuinely duplicated hot ROWS need a distinguishing id column,
+which real tables have.
 """
 
 from __future__ import annotations
@@ -30,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BUCKET = "__interval_bucket"
+_SALT = "__interval_salt"
 
 
 def interval_join(
@@ -39,6 +58,7 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     bucket_width: float,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Inner-join ``points`` to every interval with ``lo <= point < hi``.
 
@@ -46,9 +66,17 @@ def interval_join(
     double-counting boundary points.  Column names must not collide across
     the two inputs (same contract as a plain join).  NULL points / bounds
     drop out, as in SQL.
+
+    ``salt_buckets > 1`` structurally bounds hot value buckets that sit
+    below AQE's skew-split thresholds (module docstring): the join keys
+    on ``(bucket, salt)`` with the interval side replicated across salts.
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    if salt_buckets < 1:
+        raise ValueError(
+            f"salt_buckets must be >= 1, got {salt_buckets}"
+        )
     w = F.lit(float(bucket_width))
     p = points.withColumn(
         _BUCKET, F.floor(F.col(point_col) / w).cast("long")
@@ -62,11 +90,30 @@ def interval_join(
             )
         ),
     )
+    keys = [_BUCKET]
+    if salt_buckets > 1:
+        p = p.withColumn(
+            _SALT,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in points.columns]),
+                F.lit(salt_buckets),
+            ),
+        )
+        iv = iv.withColumn(
+            _SALT,
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(salt_buckets - 1).cast("long"),
+                )
+            ),
+        )
+        keys.append(_SALT)
     return (
-        p.join(iv, _BUCKET)
+        p.join(iv, keys)
         .where(
             (F.col(point_col) >= F.col(lo_col))
             & (F.col(point_col) < F.col(hi_col))
         )
-        .drop(_BUCKET)
+        .drop(*keys)
     )

@@ -71,6 +71,67 @@ def test_rejects_bad_width(spark, pts_iv):
     pts, iv = pts_iv
     with pytest.raises(ValueError):
         interval_join(pts, iv, "value", "lo", "hi", 0)
+    with pytest.raises(ValueError):
+        interval_join(pts, iv, "value", "lo", "hi", 5.0, salt_buckets=0)
+
+
+@pytest.mark.parametrize("salt", [4, 16])
+def test_salted_matches_unsalted(spark, pts_iv, salt):
+    """salt_buckets must not change the result multiset — each point owns
+    exactly one (bucket, salt) and intervals cover every salt."""
+    pts, iv = pts_iv
+    got = _pairs(
+        interval_join(pts, iv, "value", "lo", "hi", 25.0, salt_buckets=salt)
+    )
+    want = _pairs(interval_join(pts, iv, "value", "lo", "hi", 25.0))
+    assert got == want and len(want) > 100
+
+
+def test_salt_bounds_hot_bucket_at_default_confs(spark):
+    """Round-4 verdict #7: the AQE skew-split proof above needs
+    test-scaled thresholds; at DEFAULT confs (256 MB skew threshold) a
+    hot value bucket is one unsplittable task.  salt_buckets bounds it
+    structurally: with 40k points piled into ONE bucket, the largest
+    (bucket, salt) join-key group — the row count the single hottest
+    task can receive — must shrink ~1/k, with the result multiset
+    byte-identical to unsalted.  No skew/broadcast confs are touched."""
+    salt = 8
+    hot_n = 40_000
+    pts = spark.range(hot_n).select(
+        F.col("id").alias("pid"), (F.rand(seed=1) * 9.0).alias("v")
+    ).union(
+        spark.range(2_000).select(
+            (F.col("id") + hot_n).alias("pid"),
+            (F.col("id") * 10.0 + 15.0).alias("v"),
+        )
+    )
+    iv = spark.range(5).select(
+        (F.col("id") * 0.0).alias("lo"),
+        F.lit(10.0).alias("hi"),
+        F.col("id").alias("ivid"),
+    )
+    out = interval_join(pts, iv, "v", "lo", "hi", 10.0, salt_buckets=salt)
+    n = out.count()
+    assert n == hot_n * 5  # every hot point x 5 intervals, exactly once
+    # the bounded quantity: rows per (bucket, salt) group on the point
+    # side — what one task sees after the salted shuffle (same evidence
+    # shape as bench.py's max_hot_chain_group_rows for dedup)
+    grouped = (
+        pts.withColumn("_b", F.floor(F.col("v") / 10.0).cast("long"))
+        .withColumn(
+            "_s", F.pmod(F.xxhash64("pid", "v"), F.lit(salt))
+        )
+        .groupBy("_b", "_s")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    # xxhash64 spreads the hot bucket near-uniformly: each of the 8
+    # salted groups holds ~5k of the 40k hot rows
+    assert grouped < hot_n / salt * 1.3, grouped
+    # and the plan is still an equi hash/SMJ join, never a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_hot_bucket_triggers_aqe_skew_split(spark):
