@@ -9,9 +9,10 @@ No image library (PIL/opencv) exists in this environment, so:
   ``fixtures/jpeg.py``): BT.601 YCbCr, 8x8 DCT, Annex-K quant/Huffman
   tables, byte stuffing; output opens in any external viewer.  Quality 98
   measures >= 43 dB PSNR on the worst case (uniform noise), clearing the
-  PSNR>=40 lossy gate.  The pre-round-4 fake (``LQI1``) remains decodable
-  so old cached fixtures stay readable; progressive/arithmetic foreign
-  JPEGs raise ``NotImplementedError`` loudly.
+  PSNR>=40 lossy gate.  Progressive (SOF2) streams decode too since
+  round 5.  The pre-round-4 fake (``LQI1``) remains decodable so old
+  cached fixtures stay readable; hierarchical/arithmetic foreign JPEGs
+  raise ``NotImplementedError`` loudly.
 * **phash**: 64-bit average-hash of the decoded pixels (8x8 block means
   thresholded at their mean), matching the input_hint's ``phash:int64``.
 

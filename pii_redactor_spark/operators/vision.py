@@ -6,12 +6,14 @@ here is a ``mapInPandas`` batch transform — Arrow moves whole column batches
 across the JVM<->Python boundary, NumPy does the pixel math, and nothing ever
 touches the driver.
 
-Codec support (round 4): PNG (spec-compliant 8-bit RGB subset) and REAL
-baseline JPEG/JFIF both decode for real — ``fixtures/codecs.py`` +
-``fixtures/jpeg.py`` (pure-NumPy T.81 baseline codec: 4:4:4/4:2:0,
-restart markers, grayscale; the pre-round-4 ``LQI1`` stand-in remains
-decodable for old cached fixtures).  Genuinely out-of-scope formats
-(WebP, video, progressive JPEG) raise ``NotImplementedError`` from the
+Codec support (round 4-5): PNG (spec-compliant 8-bit RGB subset) and
+REAL JPEG/JFIF — baseline AND progressive (SOF2) since round 5 — both
+decode for real: ``fixtures/codecs.py`` + ``fixtures/jpeg.py``
+(pure-NumPy T.81 codec: 4:4:4/4:2:0, restart markers, grayscale,
+spectral-selection + successive-approximation progressive scans; the
+pre-round-4 ``LQI1`` stand-in remains decodable for old cached
+fixtures).  Genuinely out-of-scope formats (WebP, inter-frame video,
+hierarchical/arithmetic JPEG) raise ``NotImplementedError`` from the
 same code path — the Spark-side plumbing (schema, batching, partition
 flow) is identical and fully tested either way.
 

@@ -145,10 +145,18 @@ def test_honest_guards():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01" + bytes(good[2:]))    # no SOI
     i = good.find(b"\xff\xc0")
-    prog = bytearray(good)
-    prog[i + 1] = 0xC2                                 # SOF2 progressive
+    # a baseline stream merely RELABELED SOF2 is structurally corrupt as
+    # progressive (its single scan claims band 0..63 interleaved, illegal
+    # for SOF2) — must be a ValueError, never a wrong image
+    forged = bytearray(good)
+    forged[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(forged))
+    # genuinely out-of-scope SOF markers still refuse loudly
+    hier = bytearray(good)
+    hier[i + 1] = 0xC3                                 # SOF3 lossless
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(hier))
 
 
 def test_codecs_entry_points_use_real_jpeg():
@@ -293,3 +301,98 @@ def test_poison_guard_survives_stripped_dht(spark):
     got = {r["image_id"]: r for r in decode_stats(df).collect()}
     assert got["ok"]["decoded"] is True
     assert got["no_dht"]["decoded"] is False
+
+
+# --- progressive (SOF2) — round 5 -------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (33, 41), (64, 64), (50, 70)])
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_progressive_decodes_identical_to_baseline(shape, subsampling):
+    """The progressive encode carries the SAME quantized coefficients as
+    the baseline encode, so the decoded pixels must be bit-identical —
+    any encoder/decoder asymmetry in the successive-approximation or
+    EOB-run logic breaks this exact equality."""
+    px = _smooth(*shape)
+    base = decode_jpeg(encode_jpeg(px, 85, subsampling=subsampling))
+    prog = decode_jpeg(
+        encode_jpeg(px, 85, subsampling=subsampling, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_noise_and_extreme_qualities():
+    """Noise at high quality exercises dense AC refinement (correction
+    bits); low quality exercises long EOB runs."""
+    px = _noise(48, 80)
+    for q in (35, 75, 98):
+        base = decode_jpeg(encode_jpeg(px, q))
+        prog = decode_jpeg(encode_jpeg(px, q, progressive=True))
+        assert np.array_equal(base, prog), f"quality {q}"
+
+
+def test_progressive_constant_image_pure_eob_runs():
+    """A constant image makes every AC band empty: the whole scan is one
+    EOBn run with extension bits — the run-length edge path."""
+    px = np.full((40, 56, 3), 137, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, 70))
+    prog = decode_jpeg(encode_jpeg(px, 70, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_stream_structure():
+    """Structurally a real progressive JFIF: SOF2 marker, ten SOS scans
+    (libjpeg's default script), per-scan optimized DHT segments, PSNR
+    gate intact."""
+    px = _noise(64, 64)
+    data = encode_jpeg(px, 98, progressive=True)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    n_sos = data.count(b"\xff\xda")
+    assert n_sos >= 10                  # marker bytes can also occur in
+    assert psnr(px, decode_jpeg(data)) >= 40.0
+
+
+def test_progressive_deterministic_and_smaller_on_smooth():
+    px = _smooth(96, 96)
+    a = encode_jpeg(px, 85, progressive=True)
+    assert a == encode_jpeg(px, 85, progressive=True)
+    # optimized per-scan tables: progressive should not blow up the size
+    # (on smooth content it is typically SMALLER than baseline)
+    assert len(a) < 1.2 * len(encode_jpeg(px, 85))
+
+
+@pytest.mark.parametrize("cut_frac", [0.2, 0.5, 0.9])
+def test_progressive_truncation_raises_valueerror(cut_frac):
+    px = _noise(40, 40)
+    data = encode_jpeg(px, 85, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: int(len(data) * cut_frac)])
+
+
+def test_progressive_refuses_restart_interval_encode():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_noise(16, 16), 85, restart_interval=4,
+                    progressive=True)
+
+
+def test_progressive_through_vision_operators(spark):
+    """decode_stats must treat a progressive row exactly like a baseline
+    row: decoded=true, phash consistent with the same pixels."""
+    from pii_redactor_spark.fixtures.jpeg import encode_jpeg as enc
+    from pii_redactor_spark.operators.vision import decode_stats, phash64
+
+    px = _smooth(32, 32)
+    ph = phash64(decode_jpeg(enc(px, 92)))
+    rows = [
+        ("base", bytearray(enc(px, 92)), "jpeg", ph),
+        ("prog", bytearray(enc(px, 92, progressive=True)), "jpeg", ph),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, phash long"
+    )
+    got = {r["image_id"]: r for r in decode_stats(df).collect()}
+    assert got["base"]["decoded"] is True
+    assert got["prog"]["decoded"] is True
+    # identical pixels -> identical recomputed phash distance
+    assert got["prog"]["phash_dist"] == got["base"]["phash_dist"] == 0
