@@ -79,6 +79,7 @@ def main() -> None:
     by_length = _scrub_by_length_bucket(spark)
     image_decode = _image_decode_bench(spark)
     dedup_scale = _dedup_scale_bench(spark)
+    ann_scale = _ann_scale_bench(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -95,6 +96,8 @@ def main() -> None:
         out["image_decode"] = image_decode
     if dedup_scale is not None:
         out["dedup_scale"] = dedup_scale
+    if ann_scale is not None:
+        out["ann_scale"] = ann_scale
     prev = _previous_round_timings()
     if prev:
         out["prev_delta"] = {
@@ -330,6 +333,150 @@ def _dedup_scale_bench(spark) -> dict | None:
         import traceback
 
         print(f"# dedup_scale leg failed: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def _ann_scale_bench(spark) -> dict | None:
+    """At-scale timing for the embedding/ANN family (round-4 verdict #3):
+    LSH filter-then-verify near-dup, SemDeDup's within-cell join, and the
+    IVF-partitioned store are the operators whose cost model only shows
+    beyond the 500-5k-vector sf tables, so they are timed here on a
+    cached 1M-vector corpus with planted cluster structure
+    (fixtures/ann_corpus.py).  Reports vectors/sec, measured recall
+    (planted-pair recall for LSH, recall@10 vs exact brute force for the
+    IVF store at nprobe 4 and 16), and the max on-disk IVF cell bytes —
+    the partition-pruning bound.  ``BENCH_ANN_ROWS=0`` skips; any failure
+    returns None (the headline bench never dies on this leg)."""
+    try:
+        from pyspark.sql import functions as F
+
+        from pii_redactor_spark.fixtures.ann_corpus import (
+            CLUSTER_SIZE,
+            ensure_cached_ann_corpus,
+            query_vector,
+        )
+        from pii_redactor_spark.operators.similarity import (
+            brute_force_topk,
+            cosine,
+            dot,
+            ivf_assign,
+            ivf_topk_partitioned,
+            neardup_pairs_lsh,
+            write_ivf_partitioned,
+        )
+
+        rows = int(os.environ.get("BENCH_ANN_ROWS", "1000000"))
+        if rows <= 0:
+            return None
+        path = ensure_cached_ann_corpus(
+            spark, f"/root/repo/.cache/ann_fx_{rows}", rows
+        )
+        vecs = spark.read.parquet(path)
+        out: dict = {"n_vectors": rows, "dim": 64}
+
+        # --- LSH near-dup: filter-then-verify at threshold 0.95 ---------
+        # planted ground truth: members 0 and 1 of every cluster
+        # (cosine ~0.998); regular clustermates sit at ~0.94, below the
+        # threshold, so the true pair count is exactly n_clusters.
+        n_planes, n_tables = 16, 2
+        t0 = time.perf_counter()
+        pairs = neardup_pairs_lsh(
+            vecs, threshold=0.95, dim=64, n_planes=n_planes,
+            n_tables=n_tables,
+        )
+        planted = pairs.where(
+            (F.col("id_a") % CLUSTER_SIZE < 2)
+            & (F.col("id_b") % CLUSTER_SIZE < 2)
+            & (F.col("id_a") == F.col("id_b") - 1)
+        ).count()
+        dt = time.perf_counter() - t0
+        n_true = rows // CLUSTER_SIZE
+        out["lsh_neardup"] = {
+            "sec": round(dt, 3),
+            "vectors_per_sec": round(rows / dt, 1),
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "planted_pair_recall": round(planted / n_true, 4),
+        }
+
+        # --- SemDeDup within-cell join at a scale-sized codebook --------
+        # cells grow with n (~n/30 occupancy target) so the self-join cost
+        # stays sum(|cell|^2), never n^2 — the operator's 100 TB story.
+        n_cells = max(1024, rows // 32)
+        t0 = time.perf_counter()
+        assigned = ivf_assign(vecs, dim=64, n_cells=n_cells).select(
+            "vec_id", "embedding", "ivf_cell"
+        )
+        nz = assigned.where(dot(F.col("embedding"), F.col("embedding")) > 0)
+        a = nz.select("ivf_cell", F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("va"))
+        b = nz.select("ivf_cell", F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"))
+        dup = (
+            a.join(b, "ivf_cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cosine(F.col("va"), F.col("vb")) >= 0.9)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        survivors = vecs.select("vec_id").join(dup, "vec_id", "left_anti")
+        n_surv = survivors.count()
+        dt = time.perf_counter() - t0
+        max_cell = (
+            assigned.groupBy("ivf_cell").agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("m")).collect()[0]["m"]
+        )
+        out["semdedup"] = {
+            "sec": round(dt, 3),
+            "vectors_per_sec": round(rows / dt, 1),
+            "n_cells": n_cells,
+            "survivors": n_surv,
+            "max_cell_rows": int(max_cell),
+        }
+
+        # --- IVF-partitioned store: build once, probe at 4 and 16 -------
+        store = f"/root/repo/.cache/ann_ivf_{rows}"
+        n_store_cells = 1024
+        t0 = time.perf_counter()
+        write_ivf_partitioned(vecs, store, dim=64, n_cells=n_store_cells)
+        build_dt = time.perf_counter() - t0
+        import glob as _glob
+        cell_bytes = [
+            sum(os.path.getsize(f)
+                for f in _glob.glob(os.path.join(d, "*.parquet")))
+            for d in _glob.glob(os.path.join(store, "ivf_cell=*"))
+        ]
+        q_cluster = 5
+        qv = query_vector(q_cluster)
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(vecs, qv, k=10).collect()
+        }
+        ivf = {"build_sec": round(build_dt, 3),
+               "build_vectors_per_sec": round(rows / build_dt, 1),
+               "n_cells": n_store_cells,
+               "max_cell_bytes": max(cell_bytes) if cell_bytes else 0}
+        for nprobe in (4, 16):
+            t0 = time.perf_counter()
+            got = {
+                r["vec_id"]
+                for r in ivf_topk_partitioned(
+                    spark, store, qv, k=10, nprobe=nprobe, dim=64,
+                    n_cells=n_store_cells,
+                ).collect()
+            }
+            dt = time.perf_counter() - t0
+            ivf[f"nprobe_{nprobe}"] = {
+                "sec": round(dt, 3),
+                "recall_at_10": round(len(got & exact) / 10, 2),
+            }
+        out["ivf_store"] = ivf
+        return out
+    except Exception as exc:
+        import traceback
+
+        print(f"# ann_scale leg failed: {exc!r}", file=sys.stderr)
         traceback.print_exc(file=sys.stderr)
         return None
 

@@ -256,12 +256,24 @@ def ivf_assign(
         dim, n_cells, seed
     )
 
+    # Bound the scratch matrix: a scale-sized codebook (SemDeDup grows
+    # cells ~ n/32) would otherwise allocate batch_rows x n_cells doubles
+    # per Arrow batch (2.5 GB at 10k rows x 32k cells, per concurrent
+    # task).  Chunk rows so the score block stays ~32 MB regardless of
+    # codebook size; the matmul stays fully vectorized per chunk.
+    chunk = max(64, (1 << 22) // max(len(cents), 1))
+
     @pandas_udf("int")
     def cell(batch: pd.Series) -> pd.Series:
         m = np.stack(batch.values).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        return pd.Series(np.argmax((m / norms) @ cents.T, axis=1))
+        m /= norms
+        parts = [
+            np.argmax(m[i:i + chunk] @ cents.T, axis=1)
+            for i in range(0, len(m), chunk)
+        ]
+        return pd.Series(np.concatenate(parts) if parts else [])
 
     # asNondeterministic stops Catalyst from splitting the evaluation when a
     # join on ivf_cell pushes an isnotnull(ivf_cell) predicate through the

@@ -19,6 +19,7 @@ def test_bench_emits_one_json_line():
         SPARK_GRAFT_CPUS="4",
         BENCH_IMAGE_ROWS="2000",
         BENCH_DEDUP_ROWS="5000",
+        BENCH_ANN_ROWS="4000",
     )
     proc = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"],
@@ -44,3 +45,12 @@ def test_bench_emits_one_json_line():
     # bounded-task evidence: the salted chain group stays far below the
     # hot posting list an unsalted window would see
     assert 0 < ds["max_hot_chain_group_rows"] < ds["unsalted_would_be_rows"]
+    # the ANN-at-scale leg must be present and sane (round-4 verdict #3)
+    ann = out["ann_scale"]
+    assert ann["n_vectors"] == 4000
+    assert ann["lsh_neardup"]["planted_pair_recall"] >= 0.5
+    assert ann["semdedup"]["survivors"] > 0
+    assert ann["ivf_store"]["nprobe_16"]["recall_at_10"] >= \
+        ann["ivf_store"]["nprobe_4"]["recall_at_10"] - 0.2
+    assert ann["ivf_store"]["nprobe_16"]["recall_at_10"] >= 0.8
+    assert ann["ivf_store"]["max_cell_bytes"] > 0

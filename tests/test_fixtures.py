@@ -192,3 +192,48 @@ def test_dedup_bench_corpus_structure(spark):
         members = set(range(b // CLUSTER_SIZE * CLUSTER_SIZE,
                             b // CLUSTER_SIZE * CLUSTER_SIZE + CLUSTER_SIZE))
         assert members <= hit, (b, members - hit)
+
+
+def test_ann_bench_corpus_structure(spark):
+    """The 1M-vector ANN bench fixture (round-5): deterministic under any
+    partitioning, clustered with the documented cosine bands — regular
+    clustermates ~0.94 (SemDeDup's prune band), planted members 0/1
+    ~0.998 (the LSH recall ground truth), cross-cluster low."""
+    import numpy as np
+
+    from pii_redactor_spark.fixtures.ann_corpus import (
+        CLUSTER_SIZE,
+        ann_bench_corpus,
+        query_vector,
+    )
+
+    n = 10 * CLUSTER_SIZE
+    a = ann_bench_corpus(spark.range(0).sparkSession, n).orderBy("vec_id")
+    rows = a.collect()
+    b = (
+        ann_bench_corpus(spark, n)
+        .repartition(7)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r["embedding"] for r in rows] == [r["embedding"] for r in b]
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    assert labels[0] == labels[CLUSTER_SIZE - 1] != labels[CLUSTER_SIZE]
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    # planted tight pair: members 0 and 1 of each cluster
+    assert cos(vecs[0], vecs[1]) > 0.99
+    assert cos(vecs[CLUSTER_SIZE], vecs[CLUSTER_SIZE + 1]) > 0.99
+    # regular clustermates: the 0.9-0.97 semantic band
+    assert 0.85 < cos(vecs[2], vecs[3]) < 0.98
+    # cross-cluster: unrelated directions
+    assert abs(cos(vecs[2], vecs[CLUSTER_SIZE + 2])) < 0.6
+    # the query vector is near its cluster but not any stored row
+    q = np.array(query_vector(0))
+    assert cos(q, vecs[2]) > 0.85
+    assert all(not np.allclose(q, v) for v in vecs.values())

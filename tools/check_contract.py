@@ -4,6 +4,11 @@ values (columns sorted by name, rows sorted by stringified tuple — the
 driver's documented comparison).
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
+
+Set ``CHECK_CONTRACT_JSON=<path>`` to also write a machine-readable
+per-query result map (the committed tri-scale artifact
+``CORRECTNESS_FULL.json`` is three such runs merged by
+``tools/full_correctness.py``).
 """
 
 from __future__ import annotations
@@ -73,6 +78,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,15 +87,18 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {e}")
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, no oracle)")
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
             failures.append(name)
+            results[name] = {"status": "oracle_error", "err": str(e)[:300]}
             continue
         sn, sc, sh, srows = frame_fingerprint(sdf)
         on_, oc, oh, orows = frame_fingerprint(odf)
@@ -105,17 +114,27 @@ def main():
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")
             failures.append(name)
+            results[name] = {"status": "columns_mismatch"}
         elif sn != on_:
             print(f"FAIL {name}: rows spark={sn} oracle={on_}")
             failures.append(name)
+            results[name] = {"status": "rows_mismatch",
+                             "spark_rows": sn, "oracle_rows": on_}
         elif sh != oh:
             diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
             print(f"FAIL {name}: value hash mismatch; first diffs: {diff}")
             failures.append(name)
+            results[name] = {"status": "hash_mismatch", "spark_rows": sn}
         else:
             print(f"ok   {name}: {sn} rows match")
+            results[name] = {"status": "match", "rows": sn}
 
     spark.stop()
+    json_path = os.environ.get("CHECK_CONTRACT_JSON")
+    if json_path:
+        import json as _json
+        with open(json_path, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         sys.exit(1)
