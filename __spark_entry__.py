@@ -863,12 +863,26 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     `min(struct(price, suppkey))` — two hash aggregations, NO window, so a
     part sold by millions of suppliers never funnels through one task; the
     DuckDB oracle instead uses QUALIFY row_number() = 1, deliberately a
-    different mechanism for the same semantics.  Unit prices are rounded to
-    2 decimals before the argmin so float noise in avg() cannot flip the
-    winner; ties break on the smaller suppkey via the struct order.  The
-    part filter reaches lineitem BEFORE the first aggregation (broadcast
-    semi-join — Catalyst cannot push an inner join below two aggs itself),
-    so no hash-agg state is built for parts the final join would drop."""
+    different mechanism for the same semantics.
+
+    The unit price is the quantity-weighted SUM(price)/SUM(qty) in
+    ALL-INTEGER cent arithmetic: round 5's tri-scale sweep caught the
+    previous AVG(double)-then-ROUND flipping a cent at 8 of 3,919 sf0.1
+    parts, for TWO stacked reasons: (1) float partial-aggregation merge
+    order is shuffle-fetch-order dependent, so the last ulp of AVG is
+    nondeterministic run-to-run; (2) even on a bit-identical double,
+    Spark's round() goes through Java BigDecimal.valueOf (the SHORTEST
+    decimal repr — "153.855" rounds UP) while DuckDB/Python round the
+    EXACT binary expansion (153.85499999... rounds DOWN), so any
+    quotient whose shortest repr lands on a .xx5 boundary diverges
+    across engines deterministically.  Integer cents (per-row *100
+    rounding can never sit near .5 for 2-decimal inputs), integer
+    half-up division ``(2P + Q) div (2Q)``, and one exact /100.0 are
+    bit-equal everywhere.  Ties break on the smaller suppkey via the
+    struct order.  The part filter reaches lineitem BEFORE the first
+    aggregation (broadcast semi-join — Catalyst cannot push an inner
+    join below two aggs itself), so no hash-agg state is built for
+    parts the final join would drop."""
     part = F.broadcast(
         _t(spark, sf, "part")
         .where(F.col("p_size") <= 10)
@@ -882,8 +896,16 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     per_supp = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
-            .alias("avg_unit_price")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("_pc"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("_q"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.expr("(2 * _pc + _q) div (2 * _q)") / 100.0)
+            .alias("avg_unit_price"),
         )
     )
     best = (
@@ -3146,9 +3168,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cheapest_supplier_per_part": """
             WITH per_supp AS (
+                -- all-integer cent arithmetic: the only form that is
+                -- bit-equal across engines (AVG of doubles is
+                -- partial-merge-order dependent, and Spark/DuckDB round
+                -- a .xx5-shortest-repr double in OPPOSITE directions —
+                -- see the Spark-side docstring)
                 SELECT l_partkey, l_suppkey,
-                       ROUND(AVG(l_extendedprice / l_quantity), 2)
-                           AS avg_unit_price
+                       ((2 * SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT))
+                         + SUM(CAST(ROUND(l_quantity) AS BIGINT)))
+                        // (2 * SUM(CAST(ROUND(l_quantity) AS BIGINT))))
+                       / 100.0 AS avg_unit_price
                 FROM lineitem
                 GROUP BY 1, 2
             )
