@@ -396,3 +396,114 @@ def test_progressive_through_vision_operators(spark):
     assert got["prog"]["decoded"] is True
     # identical pixels -> identical recomputed phash distance
     assert got["prog"]["phash_dist"] == got["base"]["phash_dist"] == 0
+
+
+def test_progressive_restart_markers_decode():
+    """The progressive decoder's restart path (next_segment + state
+    reset per T.81 G.2): the encoder refuses DRI+progressive, so build a
+    2-scan single-component SOF2 stream by hand from module primitives —
+    DC scan and AC scan, each split by an RST0 marker every 4 blocks —
+    and pin the pixels against the plain baseline decode."""
+    from pii_redactor_spark.fixtures.jpeg import (
+        QUANT_LUM,
+        _BitWriter,
+        _build_encode_table,
+        _encode_plane_coeffs,
+        _optimal_huffman,
+        _quality_scale,
+        _seg,
+    )
+
+    gray = np.clip(
+        np.add.outer(np.arange(16) * 9, np.arange(32) * 4), 0, 255
+    ).astype(np.uint8)
+    q = _quality_scale(QUANT_LUM, 90)
+    zz = _encode_plane_coeffs(gray.astype(np.float64), q).tolist()
+    assert len(zz) == 8                                # 2x4 blocks
+    from pii_redactor_spark.fixtures.jpeg import (
+        _tokens_ac_first,
+        _tokens_dc_first,
+    )
+
+    geom = [(1, 1, 4)]                                 # bw=4 blocks/row
+    ri = 4                                             # restart interval
+
+    def scan_bytes(tok_segments, table_class):
+        # one optimized table over all segments' symbols
+        freqs: dict[int, int] = {}
+        for toks in tok_segments:
+            for t in toks:
+                if t[0] == "s":
+                    freqs[t[2]] = freqs.get(t[2], 0) + 1
+        bits, vals = _optimal_huffman(freqs or {0: 1})
+        enc = _build_encode_table(bits, vals)
+        body = bytearray()
+        for i, toks in enumerate(tok_segments):
+            if i:
+                body += bytes([0xFF, 0xD0 + (i - 1) % 8])
+            bw = _BitWriter()
+            bw.write_many(
+                [enc[t[2]] if t[0] == "s" else (t[1], t[2]) for t in toks]
+            )
+            bw.flush()
+            body += bw.out
+        dht = _seg(0xC4, bytes([table_class] + bits) + bytes(vals))
+        return dht, bytes(body)
+
+    # DC scan (Ss=Se=0, Ah=Al=0): restart resets the predictor, so each
+    # segment's tokens are generated independently (pred starts at 0)
+    dc_segs = [
+        _tokens_dc_first([zz[s:s + ri]], (0,), [(1, 1, ri)], 0, False,
+                         ri, ri)
+        for s in range(0, 8, ri)
+    ]
+    dc_dht, dc_body = scan_bytes(dc_segs, 0x00)
+    # AC scan (Ss=1..63, Ah=Al=0): EOB run state resets per segment
+    ac_segs = [_tokens_ac_first(zz[s:s + ri], 1, 63, 0)
+               for s in range(0, 8, ri)]
+    ac_dht, ac_body = scan_bytes(ac_segs, 0x10)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + q[ZIGZAG].astype(np.uint8).tobytes())
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 16, 32, 1)
+                + bytes([1, 0x11, 0]))
+    out += _seg(0xDD, struct.pack(">H", ri))           # DRI
+    out += dc_dht
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += dc_body
+    out += ac_dht
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += ac_body
+    out += b"\xff\xd9"
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (16, 32, 3)
+    # same coefficients as a baseline single-scan encode -> compare to
+    # the grayscale baseline decode of the same plane
+    assert np.array_equal(px[..., 0], px[..., 1])
+    err = np.abs(px[..., 0].astype(int) - gray.astype(int)).mean()
+    assert err < 6.0
+
+
+def test_progressive_fuzzed_corruption_never_leaks_raw_errors():
+    """Web-scrape poison-row contract over the SOF2 path: any byte
+    mutation must decode, raise ValueError, or raise NotImplementedError
+    — never IndexError/KeyError/struct.error (the vision guards catch
+    only the first two)."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(px, 80, progressive=True))
+    for trial in range(60):
+        bad = bytearray(data)
+        mode = trial % 3
+        if mode == 0:                                  # flip one byte
+            i = int(rng.integers(2, len(bad)))
+            bad[i] ^= int(rng.integers(1, 256))
+        elif mode == 1:                                # truncate
+            bad = bad[: int(rng.integers(4, len(bad)))]
+        else:                                          # splice garbage
+            i = int(rng.integers(2, len(bad)))
+            bad[i:i] = bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+        try:
+            decode_jpeg(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass
