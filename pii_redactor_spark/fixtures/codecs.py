@@ -13,6 +13,10 @@ No image library (PIL/opencv) exists in this environment, so:
   round 5.  The pre-round-4 fake (``LQI1``) remains decodable so old
   cached fixtures stay readable; hierarchical/arithmetic foreign JPEGs
   raise ``NotImplementedError`` loudly.
+* **gif** (round 5): a real GIF89a codec (``fixtures/gif.py``) — full LZW
+  with growing code widths and deferred clear, 4-pass interlacing,
+  transparency, sub-rectangle frames, disposal methods, animation.
+  Paletted content (<= 256 unique colors) round-trips byte-exact.
 * **phash**: 64-bit average-hash of the decoded pixels (8x8 block means
   thresholded at their mean), matching the input_hint's ``phash:int64``.
 
@@ -118,6 +122,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "jpeg":
         return decode_lossy(data)
+    if fmt == "gif":  # round 5: real GIF89a (LZW/interlace/animation)
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 

@@ -6,16 +6,18 @@ here is a ``mapInPandas`` batch transform — Arrow moves whole column batches
 across the JVM<->Python boundary, NumPy does the pixel math, and nothing ever
 touches the driver.
 
-Codec support (round 4-5): PNG (spec-compliant 8-bit RGB subset) and
-REAL JPEG/JFIF — baseline AND progressive (SOF2) since round 5 — both
-decode for real: ``fixtures/codecs.py`` + ``fixtures/jpeg.py``
-(pure-NumPy T.81 codec: 4:4:4/4:2:0, restart markers, grayscale,
-spectral-selection + successive-approximation progressive scans; the
-pre-round-4 ``LQI1`` stand-in remains decodable for old cached
-fixtures).  Genuinely out-of-scope formats (WebP, inter-frame video,
-hierarchical/arithmetic JPEG) raise ``NotImplementedError`` from the
-same code path — the Spark-side plumbing (schema, batching, partition
-flow) is identical and fully tested either way.
+Codec support (round 4-5): PNG (spec-compliant 8-bit RGB subset), REAL
+JPEG/JFIF — baseline AND progressive (SOF2) since round 5 — and REAL
+GIF89a (round 5: full LZW, interlacing, transparency, animation) all
+decode for real: ``fixtures/codecs.py`` + ``fixtures/jpeg.py`` +
+``fixtures/gif.py`` (pure-NumPy T.81 codec: 4:4:4/4:2:0, restart
+markers, grayscale, spectral-selection + successive-approximation
+progressive scans; the pre-round-4 ``LQI1`` stand-in remains decodable
+for old cached fixtures).  Genuinely out-of-scope formats (WebP,
+inter-frame video, hierarchical/arithmetic JPEG) raise
+``NotImplementedError`` from the same code path — the Spark-side
+plumbing (schema, batching, partition flow) is identical and fully
+tested either way.
 
 Reference parity note: the reference pipeline never decodes pixels (it is
 text-only); these operators exist for the north-star's image-integrity gate
@@ -263,15 +265,20 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     ``every_n``-th frame is decoded with the real baseline JPEG decoder
     (``fixtures/jpeg.py``) to recover (w, h); the sampled frame's own
     JPEG bytes pass through so downstream stages (quality gates, phash,
-    re-encode) work per frame without a second container parse.  Formats
-    needing an inter-frame codec (H.264/VP9/AV1) still raise
-    ``NotImplementedError`` from the same batch path — honest scope, not
-    a silent wrong answer.
+    re-encode) work per frame without a second container parse.  Fmt
+    ``"gif"`` (round 5) decodes animated GIF89a for real
+    (``fixtures/gif.py``): frames are composited per disposal method
+    exactly as a viewer shows them, and because a composited frame has
+    no standalone byte representation inside the container, sampled
+    frames re-encode as lossless PNG.  Formats needing an inter-frame
+    motion codec (H.264/VP9/AV1) still raise ``NotImplementedError``
+    from the same batch path — honest scope, not a silent wrong answer.
 
     Output: ``(video_id string, frame_no int, bytes binary, w int,
     h int)`` — one row per SAMPLED frame; mapInPandas, bytes never on
     the driver.
     """
+    from ..fixtures.gif import decode_gif_frames
     from ..fixtures.jpeg import decode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -280,11 +287,20 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             for vid, data, fmt in zip(
                 pdf["video_id"], pdf["bytes"], pdf["fmt"]
             ):
+                if fmt == "gif":
+                    for i, px in enumerate(decode_gif_frames(bytes(data))):
+                        if i % every_n:
+                            continue
+                        out.append(
+                            (vid, i, encode_png(px),
+                             px.shape[1], px.shape[0])
+                        )
+                    continue
                 if fmt != "mjpeg":
                     raise NotImplementedError(
                         f"video fmt {fmt!r}: inter-frame codecs need "
                         "ffmpeg/av, not available in this environment "
-                        "(mjpeg streams decode for real)"
+                        "(mjpeg and animated-gif streams decode for real)"
                     )
                 for i, frame in enumerate(
                     split_mjpeg_frames(bytes(data))
