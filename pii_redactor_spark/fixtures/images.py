@@ -24,9 +24,16 @@ from ..core.quality import DEFAULT_QUALITY, quality_flags_batch
 from ..core.redact import redact_simple, redact_typed
 from .captions import CaptionConfig, make_caption, rng_for
 from .codecs import encode_lossy, encode_png, phash64, phash_prefix
+from .gif import encode_gif
 
 _SIZES = [16, 24, 32, 48, 64]
 LOSSY_RATIO = 0.2  # FIXTURES.md §1: 20% of rows take the lossy path
+# Round 5: 10% of rows are GIF89a (fixtures/gif.py).  GIF is palette-bound
+# (<= 256 colors), so these rows carry posterized pixels — 4 levels per
+# channel, <= 64 unique colors — and round-trip byte-exact like PNG.  The
+# single rng.random() draw below routes the format, so adding the GIF band
+# leaves every JPEG row's bytes identical to the round-4 fixture.
+GIF_RATIO = 0.1
 
 
 def make_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
@@ -65,8 +72,16 @@ def generate_image_row(image_id: str, cfg: CaptionConfig) -> dict:
     w = int(_SIZES[rng.integers(0, len(_SIZES))])
     h = int(_SIZES[rng.integers(0, len(_SIZES))])
     pixels = make_pixels(rng, w, h)
-    lossy = rng.random() < LOSSY_RATIO
-    data = encode_lossy(pixels) if lossy else encode_png(pixels)
+    draw = rng.random()
+    if draw < LOSSY_RATIO:
+        fmt, data = "jpeg", encode_lossy(pixels)
+    elif draw < LOSSY_RATIO + GIF_RATIO:
+        # palette-bound format: the row's TRUE pixels are the posterized
+        # raster (phash and all downstream decode checks use it)
+        pixels = (pixels // 64) * 64 + 32
+        fmt, data = "gif", encode_gif(pixels)
+    else:
+        fmt, data = "png", encode_png(pixels)
     ph = phash64(pixels)
     cap = make_caption(image_id, cfg)
     return {
@@ -74,7 +89,7 @@ def generate_image_row(image_id: str, cfg: CaptionConfig) -> dict:
         "bytes": data,
         "w": w,
         "h": h,
-        "fmt": "jpeg" if lossy else "png",
+        "fmt": fmt,
         "caption": cap["caption"],
         "phash": ph,
         "phash_prefix": phash_prefix(ph),
@@ -208,7 +223,8 @@ def write_fixture_tables(
 # (oracle_cache.py is ~400 lines of oracle logic) don't force multi-minute
 # benchmark-fixture regeneration.
 _GENERATOR_SOURCES = (
-    "__init__.py", "captions.py", "codecs.py", "images.py", "jpeg.py",
+    "__init__.py", "captions.py", "codecs.py", "gif.py", "images.py",
+    "jpeg.py",
 )
 
 

@@ -99,6 +99,25 @@ def test_generate_batch_images_and_labels():
     assert tmpl["keep_expected"].mean() > 0.95
 
 
+def test_fixture_gif_rows_exact_and_present():
+    """Round 5: ~10% of fixture rows are GIF89a.  GIF is palette-bound, so
+    those rows carry posterized (<= 64-color) pixels and must round-trip
+    byte-exact through the real LZW codec; the jpeg band must be untouched
+    by the format-routing change (same single rng draw)."""
+    images, _ = generate_batch([f"img{i:012d}" for i in range(300)],
+                               CaptionConfig())
+    mix = images["fmt"].value_counts(normalize=True)
+    assert 0.05 < mix.get("gif", 0) < 0.16, dict(mix)
+    assert 0.14 < mix.get("jpeg", 0) < 0.27, dict(mix)
+    gif_rows = images[images["fmt"] == "gif"]
+    for _, row in gif_rows.head(8).iterrows():
+        px = decode_image(row["bytes"], "gif")
+        assert px.shape == (row["h"], row["w"], 3)
+        assert len(np.unique(px.reshape(-1, 3), axis=0)) <= 64
+        assert set(np.unique(px)) <= {32, 96, 160, 224}
+        assert phash64(px) == row["phash"]
+
+
 def test_labels_scrub_consistent_with_truth():
     _, labels = generate_batch([f"img{i:012d}" for i in range(100, 200)],
                                CaptionConfig())
