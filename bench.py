@@ -214,8 +214,10 @@ def _image_decode_bench(spark) -> dict | None:
             "png_frac": round(mix.get("png", 0) / max(rows, 1), 4),
             "jpeg_frac": round(mix.get("jpeg", 0) / max(rows, 1), 4),
             "gif_frac": round(mix.get("gif", 0) / max(rows, 1), 4),
+            "webp_frac": round(mix.get("webp", 0) / max(rows, 1), 4),
             "codec": "fixtures.jpeg baseline T.81 (pure NumPy) + "
-                     "fixtures.codecs PNG + fixtures.gif GIF89a",
+                     "fixtures.codecs PNG + fixtures.gif GIF89a + "
+                     "fixtures.webp VP8L",
         }
         # real-JPEG-only split (round 4: the lossy 20% is genuine baseline
         # JFIF now — report its Huffman+IDCT decode rate separately)

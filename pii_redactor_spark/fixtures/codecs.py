@@ -17,6 +17,11 @@ No image library (PIL/opencv) exists in this environment, so:
   with growing code widths and deferred clear, 4-pass interlacing,
   transparency, sub-rectangle frames, disposal methods, animation.
   Paletted content (<= 256 unique colors) round-trips byte-exact.
+* **webp** (round 5): a real VP8L lossless codec (``fixtures/webp.py``) —
+  canonical prefix codes, LZ77 with the 2D distance neighborhood, color
+  cache, meta-prefix groups, and all four transforms (predictor, color,
+  subtract-green, palette with sub-byte bundling).  Round-trips any RGB
+  image byte-exact; lossy VP8 and animation refuse loudly.
 * **phash**: 64-bit average-hash of the decoded pixels (8x8 block means
   thresholded at their mean), matching the input_hint's ``phash:int64``.
 
@@ -126,6 +131,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(data)
+    if fmt == "webp":  # round 5: real VP8L lossless (lossy VP8 refuses)
+        from .webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(f"unknown fmt {fmt!r}")
 
 

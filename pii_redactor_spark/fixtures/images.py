@@ -25,6 +25,7 @@ from ..core.redact import redact_simple, redact_typed
 from .captions import CaptionConfig, make_caption, rng_for
 from .codecs import encode_lossy, encode_png, phash64, phash_prefix
 from .gif import encode_gif
+from .webp import encode_webp
 
 _SIZES = [16, 24, 32, 48, 64]
 LOSSY_RATIO = 0.2  # FIXTURES.md §1: 20% of rows take the lossy path
@@ -34,6 +35,11 @@ LOSSY_RATIO = 0.2  # FIXTURES.md §1: 20% of rows take the lossy path
 # single rng.random() draw below routes the format, so adding the GIF band
 # leaves every JPEG row's bytes identical to the round-4 fixture.
 GIF_RATIO = 0.1
+# Round 5: 10% are WebP lossless (fixtures/webp.py).  VP8L round-trips
+# arbitrary RGB byte-exact, so these rows keep their true pixels; the band
+# sits after GIF's in the same draw, carving the share out of PNG's and
+# leaving the JPEG and GIF rows' bytes untouched.
+WEBP_RATIO = 0.1
 
 
 def make_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
@@ -80,6 +86,8 @@ def generate_image_row(image_id: str, cfg: CaptionConfig) -> dict:
         # raster (phash and all downstream decode checks use it)
         pixels = (pixels // 64) * 64 + 32
         fmt, data = "gif", encode_gif(pixels)
+    elif draw < LOSSY_RATIO + GIF_RATIO + WEBP_RATIO:
+        fmt, data = "webp", encode_webp(pixels)
     else:
         fmt, data = "png", encode_png(pixels)
     ph = phash64(pixels)
@@ -224,7 +232,7 @@ def write_fixture_tables(
 # benchmark-fixture regeneration.
 _GENERATOR_SOURCES = (
     "__init__.py", "captions.py", "codecs.py", "gif.py", "images.py",
-    "jpeg.py",
+    "jpeg.py", "webp.py",
 )
 
 

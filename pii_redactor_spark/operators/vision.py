@@ -7,14 +7,17 @@ across the JVM<->Python boundary, NumPy does the pixel math, and nothing ever
 touches the driver.
 
 Codec support (round 4-5): PNG (spec-compliant 8-bit RGB subset), REAL
-JPEG/JFIF — baseline AND progressive (SOF2) since round 5 — and REAL
-GIF89a (round 5: full LZW, interlacing, transparency, animation) all
-decode for real: ``fixtures/codecs.py`` + ``fixtures/jpeg.py`` +
-``fixtures/gif.py`` (pure-NumPy T.81 codec: 4:4:4/4:2:0, restart
+JPEG/JFIF — baseline AND progressive (SOF2) since round 5 — REAL
+GIF89a (round 5: full LZW, interlacing, transparency, animation), and
+REAL WebP lossless (round 5: full VP8L — prefix codes, LZ77 +
+neighborhood distance map, color cache, meta-prefix groups, all four
+transforms incl. palette bundling) all decode for real:
+``fixtures/codecs.py`` + ``fixtures/jpeg.py`` + ``fixtures/gif.py`` +
+``fixtures/webp.py`` (pure-NumPy T.81 codec: 4:4:4/4:2:0, restart
 markers, grayscale, spectral-selection + successive-approximation
 progressive scans; the pre-round-4 ``LQI1`` stand-in remains decodable
-for old cached fixtures).  Genuinely out-of-scope formats (WebP,
-inter-frame video, hierarchical/arithmetic JPEG) raise
+for old cached fixtures).  Genuinely out-of-scope formats (lossy VP8
+WebP, inter-frame video, hierarchical/arithmetic JPEG) raise
 ``NotImplementedError`` from the same code path — the Spark-side
 plumbing (schema, batching, partition flow) is identical and fully
 tested either way.

@@ -109,6 +109,12 @@ def test_fixture_gif_rows_exact_and_present():
     mix = images["fmt"].value_counts(normalize=True)
     assert 0.05 < mix.get("gif", 0) < 0.16, dict(mix)
     assert 0.14 < mix.get("jpeg", 0) < 0.27, dict(mix)
+    assert 0.05 < mix.get("webp", 0) < 0.16, dict(mix)
+    webp_rows = images[images["fmt"] == "webp"]
+    for _, row in webp_rows.head(4).iterrows():
+        px = decode_image(row["bytes"], "webp")
+        assert px.shape == (row["h"], row["w"], 3)
+        assert phash64(px) == row["phash"]  # VP8L keeps true pixels exactly
     gif_rows = images[images["fmt"] == "gif"]
     for _, row in gif_rows.head(8).iterrows():
         px = decode_image(row["bytes"], "gif")

@@ -178,16 +178,17 @@ def test_resize_poison_row_passes_through(spark, images_df):
     from pii_redactor_spark.operators.vision import resize_images
 
     poisoned = images_df.select("image_id", "bytes", "fmt").limit(4)
-    # corrupt one row's format so decode_image raises
+    # corrupt one row's format so decode_image raises ("webp" stopped
+    # qualifying in round 5 — VP8L decodes for real now)
     poisoned = poisoned.withColumn(
         "fmt",
-        F.when(F.monotonically_increasing_id() == 0, F.lit("webp"))
+        F.when(F.monotonically_increasing_id() == 0, F.lit("tiff"))
         .otherwise(F.col("fmt")),
     )
     out = resize_images(poisoned, max_side=16).collect()
     assert len(out) == 4
     bad = [r for r in out if r["w"] is None]
     good = [r for r in out if r["w"] is not None]
-    assert len(bad) == 1 and bad[0]["fmt"] == "webp"
+    assert len(bad) == 1 and bad[0]["fmt"] == "tiff"
     assert bad[0]["bytes"] is not None
-    assert all(r["fmt"] == "png" and r["w"] <= 16 for r in good)
+    assert all(r["w"] <= 16 for r in good)
