@@ -558,6 +558,12 @@ _WEBP = b"WEBP"
 _VP8L_SIG = 0x2F
 
 
+class _Animated(NotImplementedError):
+    """Internal: the container is animated — decode_webp falls back to the
+    first composited frame; callers that saw this via decode_webp_frames
+    never do (it handles animation natively)."""
+
+
 def _find_vp8l(data: bytes) -> bytes:
     """Walk the RIFF container to the VP8L payload; loud refusals for the
     formats that need a motion/DCT codec."""
@@ -579,9 +585,9 @@ def _find_vp8l(data: bytes) -> bytes:
             saw_anim = True
         pos += 8 + size + (size & 1)
     if saw_anim:
-        raise NotImplementedError(
-            "animated WebP needs per-frame compositing of lossy frames; "
-            "only static lossless (VP8L) decodes in this environment"
+        raise _Animated(
+            "animated WebP: decode via decode_webp_frames (lossless "
+            "animations composite for real; lossy frames refuse)"
         )
     if saw_lossy:
         raise NotImplementedError(
@@ -607,7 +613,26 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 
 def _decode_webp_inner(data: bytes) -> np.ndarray:
-    payload = _find_vp8l(bytes(data))
+    data = bytes(data)
+    try:
+        payload = _find_vp8l(data)
+    except _Animated:
+        return _decode_frames_inner(data)[0]  # GIF parity: first frame
+    px, w, h = _decode_vp8l_argb(payload)
+    return _argb_to_rgb(px, w, h)
+
+
+def _argb_to_rgb(px: list[int], w: int, h: int) -> np.ndarray:
+    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = (arr >> 16) & 0xFF
+    rgb[..., 1] = (arr >> 8) & 0xFF
+    rgb[..., 2] = arr & 0xFF
+    return rgb
+
+
+def _decode_vp8l_argb(payload: bytes) -> tuple[list[int], int, int]:
+    """Decode one VP8L stream to (row-major ARGB ints, w, h)."""
     if not payload or payload[0] != _VP8L_SIG:
         raise ValueError("bad VP8L signature byte")
     br = _BitReader(payload[1:])
@@ -664,12 +689,7 @@ def _decode_webp_inner(data: bytes) -> np.ndarray:
         else:
             _inverse_predictor(px, t_xsize, h, arg, payload_t)
 
-    arr = np.array(px, dtype=np.uint32).reshape(h, w)
-    rgb = np.empty((h, w, 3), dtype=np.uint8)
-    rgb[..., 0] = (arr >> 16) & 0xFF
-    rgb[..., 1] = (arr >> 8) & 0xFF
-    rgb[..., 2] = arr & 0xFF
-    return rgb
+    return px, w, h
 
 
 # --------------------------------------------------------------------------
@@ -1114,3 +1134,187 @@ def _sub_pixels(p: int, q: int) -> int:
     qa, qr, qg, qb = _channels(q)
     return _pack((pa - qa) & 0xFF, (pr - qr) & 0xFF,
                  (pg - qg) & 0xFF, (pb - qb) & 0xFF)
+
+
+# --------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM + ANMF containers around VP8L frames)
+# --------------------------------------------------------------------------
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp_animation(
+    frames: list[np.ndarray],
+    *,
+    duration_ms: int = 100,
+    loop: int = 0,
+    offsets: list[tuple[int, int]] | None = None,
+    canvas: tuple[int, int] | None = None,
+    dispose_to_background: bool = False,
+) -> bytes:
+    """Encode frames as an animated lossless WebP (VP8X/ANIM/ANMF).
+
+    Frames may be sub-rectangles when ``offsets`` (x, y — even per spec)
+    and ``canvas`` (w, h) are given; each frame is stored as its own
+    VP8L stream with no-blend (overwrite) semantics, matching the
+    GIF encoder's full-coverage frame model.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    if offsets is None:
+        offsets = [(0, 0)] * len(frames)
+    if canvas is None:
+        ch, cw = frames[0].shape[:2]
+    else:
+        cw, ch = canvas
+    body = bytearray()
+    # VP8X: animation flag + 24-bit canvas dims minus one
+    body += _chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                   + _u24(cw - 1) + _u24(ch - 1))
+    body += _chunk(b"ANIM", struct.pack("<IH", 0xFF000000, loop))
+    for f, (x, y) in zip(frames, offsets):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        fh, fw = f.shape[:2]
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("frame exceeds canvas")
+        flags = 0x02 | (0x01 if dispose_to_background else 0x00)
+        header = (_u24(x // 2) + _u24(y // 2) + _u24(fw - 1) + _u24(fh - 1)
+                  + _u24(duration_ms) + bytes([flags]))
+        vp8l = encode_webp(f)
+        # strip the frame's own RIFF framing down to its VP8L chunk
+        payload = header + vp8l[12:]
+        body += _chunk(b"ANMF", payload)
+    riff = b"WEBP" + bytes(body)
+    return _RIFF + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp_frames(data: bytes) -> list[np.ndarray]:
+    """Decode a WebP to the list of full-canvas RGB frames a viewer shows:
+    static files give one frame; animated lossless files composite each
+    ANMF sub-rectangle per its blend/dispose flags.  Lossy (VP8) frames
+    refuse with ``NotImplementedError``; corrupt bytes with ``ValueError``."""
+    try:
+        return _decode_frames_inner(bytes(data))
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, struct.error, KeyError, OverflowError,
+            MemoryError) as exc:
+        raise ValueError(f"corrupt WebP stream: {exc!r}") from exc
+
+
+def _decode_frames_inner(data: bytes) -> list[np.ndarray]:
+    if data[:4] != _RIFF or data[8:12] != _WEBP:
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    bg_rgb: np.ndarray | None = None
+    frames: list[np.ndarray] = []
+    canvas: np.ndarray | None = None
+    canvas_wh: tuple[int, int] | None = None
+    saw_anim = False
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"{tag!r} chunk truncated")
+        if tag == b"VP8X":
+            cw = int.from_bytes(payload[4:7], "little") + 1
+            ch = int.from_bytes(payload[7:10], "little") + 1
+            canvas_wh = (cw, ch)
+        elif tag == b"ANIM":
+            saw_anim = True
+            (bg,) = struct.unpack("<I", payload[:4])
+            # spec stores the background as B, G, R, A bytes (LE word)
+            bg_rgb = np.array([(bg >> 16) & 0xFF, (bg >> 8) & 0xFF,
+                               bg & 0xFF], dtype=np.uint8)
+        elif tag == b"ANMF":
+            if canvas_wh is None:
+                raise ValueError("ANMF before VP8X canvas declaration")
+            if canvas is None:
+                if bg_rgb is None:
+                    bg_rgb = np.zeros(3, dtype=np.uint8)
+                cw, ch = canvas_wh
+                canvas = np.broadcast_to(bg_rgb, (ch, cw, 3)).copy()
+            shown, canvas = _composite_anmf(payload, canvas, bg_rgb)
+            frames.append(shown)
+        elif tag == b"VP8L" and not saw_anim:
+            px, w, h = _decode_vp8l_argb(payload)
+            return [_argb_to_rgb(px, w, h)]
+        elif tag == b"VP8 " and not saw_anim:
+            raise NotImplementedError(
+                "lossy WebP (VP8) is a DCT motion-codec keyframe; only "
+                "lossless (VP8L) decodes in this environment"
+            )
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no decodable image chunks in WebP container")
+    return frames
+
+
+def _composite_anmf(payload: bytes, canvas: np.ndarray,
+                    bg_rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Render one ANMF frame onto the running canvas.  Returns (the frame
+    a viewer shows, the canvas the NEXT frame composites over — they
+    differ exactly when the frame disposes its rectangle to background)."""
+    ch, cw = canvas.shape[:2]
+    x = int.from_bytes(payload[0:3], "little") * 2
+    y = int.from_bytes(payload[3:6], "little") * 2
+    fw = int.from_bytes(payload[6:9], "little") + 1
+    fh = int.from_bytes(payload[9:12], "little") + 1
+    flags = payload[15]
+    blend_none = bool(flags & 0x02)
+    dispose_bg = bool(flags & 0x01)
+    if x + fw > cw or y + fh > ch:
+        raise ValueError("ANMF frame exceeds canvas")
+
+    # walk the frame's sub-chunks for its VP8L stream
+    fpos = 16
+    px = None
+    while fpos + 8 <= len(payload):
+        tag = payload[fpos:fpos + 4]
+        (size,) = struct.unpack("<I", payload[fpos + 4:fpos + 8])
+        sub = payload[fpos + 8:fpos + 8 + size]
+        if len(sub) != size:
+            raise ValueError("ANMF sub-chunk truncated")
+        if tag == b"VP8L":
+            argb, w, h = _decode_vp8l_argb(sub)
+            if (w, h) != (fw, fh):
+                raise ValueError("ANMF header/stream dimension mismatch")
+            px = np.array(argb, dtype=np.uint32).reshape(fh, fw)
+            break
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "animated WebP with lossy (VP8) frames is out of scope; "
+                "lossless (VP8L) animations decode for real"
+            )
+        fpos += 8 + size + (size & 1)
+    if px is None:
+        raise ValueError("ANMF frame carries no VP8L stream")
+    frame_rgb = np.empty((fh, fw, 3), dtype=np.uint8)
+    frame_rgb[..., 0] = (px >> 16) & 0xFF
+    frame_rgb[..., 1] = (px >> 8) & 0xFF
+    frame_rgb[..., 2] = px & 0xFF
+    shown = canvas.copy()
+    region = shown[y:y + fh, x:x + fw, :]
+    if blend_none:
+        region[:] = frame_rgb
+    else:  # src-over alpha blend with round-half-up integer math
+        a = ((px >> 24) & 0xFF).astype(np.uint16)[..., None]
+        region[:] = ((frame_rgb.astype(np.uint16) * a
+                      + region.astype(np.uint16) * (255 - a) + 127)
+                     // 255).astype(np.uint8)
+    next_canvas = shown.copy()
+    if dispose_bg:
+        next_canvas[y:y + fh, x:x + fw, :] = bg_rgb
+    return shown, next_canvas
+

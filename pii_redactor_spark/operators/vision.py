@@ -273,9 +273,12 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     (``fixtures/gif.py``): frames are composited per disposal method
     exactly as a viewer shows them, and because a composited frame has
     no standalone byte representation inside the container, sampled
-    frames re-encode as lossless PNG.  Formats needing an inter-frame
-    motion codec (H.264/VP9/AV1) still raise ``NotImplementedError``
-    from the same batch path — honest scope, not a silent wrong answer.
+    frames re-encode as lossless PNG.  ``"webp"`` (round 5) does the
+    same for animated lossless WebP (``fixtures/webp.py``: ANMF
+    sub-rectangles composited per blend/dispose flags; lossy VP8 frames
+    refuse).  Formats needing an inter-frame motion codec
+    (H.264/VP9/AV1) still raise ``NotImplementedError`` from the same
+    batch path — honest scope, not a silent wrong answer.
 
     Output: ``(video_id string, frame_no int, bytes binary, w int,
     h int)`` — one row per SAMPLED frame; mapInPandas, bytes never on
@@ -283,6 +286,7 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """
     from ..fixtures.gif import decode_gif_frames
     from ..fixtures.jpeg import decode_jpeg
+    from ..fixtures.webp import decode_webp_frames
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,8 +294,10 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             for vid, data, fmt in zip(
                 pdf["video_id"], pdf["bytes"], pdf["fmt"]
             ):
-                if fmt == "gif":
-                    for i, px in enumerate(decode_gif_frames(bytes(data))):
+                if fmt in ("gif", "webp"):
+                    decode = (decode_gif_frames if fmt == "gif"
+                              else decode_webp_frames)
+                    for i, px in enumerate(decode(bytes(data))):
                         if i % every_n:
                             continue
                         out.append(

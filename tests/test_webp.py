@@ -25,7 +25,9 @@ from pii_redactor_spark.fixtures.webp import (
     _prefix_token,
     _prefix_value,
     decode_webp,
+    decode_webp_frames,
     encode_webp,
+    encode_webp_animation,
 )
 
 RNG = np.random.default_rng(20260818)
@@ -185,8 +187,16 @@ def test_lossy_vp8_refuses_loudly():
         decode_webp(_riff((b"VP8 ", b"\x00" * 32)))
 
 
-def test_animation_refuses_loudly():
-    with pytest.raises(NotImplementedError, match="animated"):
+def test_lossy_animation_refuses_loudly():
+    # an ANMF frame whose stream is lossy VP8 refuses; garbage ANMF is
+    # a plain parse error
+    vp8_frame = (b"\x00" * 16
+                 + b"VP8 " + struct.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(_riff((b"VP8X", b"\x00" * 10),
+                          (b"ANIM", b"\x00" * 6),
+                          (b"ANMF", vp8_frame)))
+    with pytest.raises(ValueError):
         decode_webp(_riff((b"VP8X", b"\x00" * 10),
                           (b"ANIM", b"\x00" * 6),
                           (b"ANMF", b"\x00" * 40)))
@@ -247,8 +257,93 @@ def test_dimension_limits():
 
 
 # --------------------------------------------------------------------------
+# animated lossless WebP (VP8X/ANIM/ANMF)
+# --------------------------------------------------------------------------
+
+
+def test_animation_roundtrip_full_canvas():
+    frames = [_rgb(12, 18, np.random.default_rng(i)) for i in range(5)]
+    data = encode_webp_animation(frames, duration_ms=40)
+    got = decode_webp_frames(data)
+    assert len(got) == 5
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+    # decode_webp on an animation shows the first frame (GIF parity)
+    assert np.array_equal(decode_webp(data), frames[0])
+
+
+def test_animation_subrect_compositing():
+    """Frame 2 paints only a 4x6 patch at (2, 4); the viewer-shown frame
+    is frame 1 with the patch overwritten."""
+    base = _rgb(10, 10, np.random.default_rng(0))
+    patch = _rgb(4, 6, np.random.default_rng(1))
+    data = encode_webp_animation(
+        [base, patch], offsets=[(0, 0), (4, 2)], canvas=(10, 10))
+    got = decode_webp_frames(data)
+    assert np.array_equal(got[0], base)
+    expect = base.copy()
+    expect[2:6, 4:10] = patch
+    assert np.array_equal(got[1], expect)
+
+
+def test_animation_dispose_to_background():
+    """With dispose-to-background, frame N+1 composites over the disposed
+    (background-filled) rectangle, not over frame N's pixels."""
+    f0 = np.full((8, 8, 3), 200, np.uint8)
+    f1 = np.full((4, 4, 3), 50, np.uint8)
+    data = encode_webp_animation(
+        [f0, f1, f1], offsets=[(0, 0), (0, 0), (4, 4)], canvas=(8, 8),
+        dispose_to_background=True)
+    got = decode_webp_frames(data)
+    assert np.array_equal(got[0], f0)               # shown before disposal
+    # frame 1: whole canvas was disposed to background (black) after f0
+    expect1 = np.zeros((8, 8, 3), np.uint8)
+    expect1[0:4, 0:4] = 50
+    assert np.array_equal(got[1], expect1)
+    # frame 2: f1's rect was disposed, then drawn at (4, 4)
+    expect2 = np.zeros((8, 8, 3), np.uint8)
+    expect2[4:8, 4:8] = 50
+    assert np.array_equal(got[2], expect2)
+
+
+def test_animation_odd_offset_rejected():
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_animation(
+            [np.zeros((4, 4, 3), np.uint8)] * 2,
+            offsets=[(0, 0), (1, 0)], canvas=(8, 8))
+
+
+def test_static_decode_webp_frames_single():
+    img = _rgb(9, 9)
+    frames = decode_webp_frames(encode_webp(img))
+    assert len(frames) == 1 and np.array_equal(frames[0], img)
+
+
+# --------------------------------------------------------------------------
 # Spark-side plumbing: webp rows flow through the batch decode operator
 # --------------------------------------------------------------------------
+
+
+def test_sample_frames_animated_webp(spark):
+    """Animated lossless WebP samples every Nth composited frame as PNG,
+    mirroring the GIF path (a composited frame has no standalone byte
+    representation inside the container)."""
+    from pii_redactor_spark.fixtures.codecs import decode_png
+    from pii_redactor_spark.operators.vision import sample_frames
+
+    frames = [_rgb(12, 18, np.random.default_rng(i)) for i in range(7)]
+    data = encode_webp_animation(frames)
+    vids = spark.createDataFrame(
+        [("vw", bytearray(data), "webp")],
+        "video_id string, bytes binary, fmt string",
+    )
+    rows = sorted(sample_frames(vids, every_n=3).collect(),
+                  key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        assert (r["h"], r["w"]) == (12, 18)
+        assert np.array_equal(decode_png(bytes(r["bytes"])),
+                              frames[r["frame_no"]])
 
 
 def test_decode_stats_webp_rows(spark):
