@@ -219,18 +219,21 @@ def _image_decode_bench(spark) -> dict | None:
                      "fixtures.codecs PNG + fixtures.gif GIF89a + "
                      "fixtures.webp VP8L",
         }
-        # real-JPEG-only split (round 4: the lossy 20% is genuine baseline
-        # JFIF now — report its Huffman+IDCT decode rate separately)
-        jp = imgs.where(F.col("fmt") == "jpeg")
-        n_jpeg = jp.count()
-        if n_jpeg:
+        # per-codec splits (round 4 added jpeg_only when the lossy rows
+        # became real JFIF; round 5 adds gif/webp so each pure-Python
+        # entropy decoder's rate is visible on its own)
+        for split_fmt in ("jpeg", "gif", "webp"):
+            sub = imgs.where(F.col("fmt") == split_fmt)
+            n_sub = mix.get(split_fmt, 0)
+            if not n_sub:
+                continue
             t0 = time.perf_counter()
-            force(decode_stats(jp).select("image_id"))
+            force(decode_stats(sub).select("image_id"))
             dt = time.perf_counter() - t0
-            out["jpeg_only"] = {
-                "n_images": n_jpeg,
+            out[f"{split_fmt}_only"] = {
+                "n_images": n_sub,
                 "sec": round(dt, 3),
-                "images_per_sec": round(n_jpeg / dt, 1),
+                "images_per_sec": round(n_sub / dt, 1),
             }
         return out
     except Exception as exc:
