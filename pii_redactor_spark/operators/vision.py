@@ -276,7 +276,10 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     frames re-encode as lossless PNG.  ``"webp"`` (round 5) does the
     same for animated lossless WebP (``fixtures/webp.py``: ANMF
     sub-rectangles composited per blend/dispose flags; lossy VP8 frames
-    refuse).  Formats needing an inter-frame motion codec
+    refuse).  ``"y4m"`` (round 5) decodes uncompressed YUV4MPEG2
+    (``fixtures/y4m.py``: C444/C422/C420*/Cmono planar frames); like
+    the composited formats, sampled raw frames re-encode as lossless
+    PNG.  Formats needing an inter-frame motion codec
     (H.264/VP9/AV1) still raise ``NotImplementedError`` from the same
     batch path — honest scope, not a silent wrong answer.
 
@@ -287,6 +290,7 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     from ..fixtures.gif import decode_gif_frames
     from ..fixtures.jpeg import decode_jpeg
     from ..fixtures.webp import decode_webp_frames
+    from ..fixtures.y4m import decode_y4m_frames
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -294,9 +298,12 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             for vid, data, fmt in zip(
                 pdf["video_id"], pdf["bytes"], pdf["fmt"]
             ):
-                if fmt in ("gif", "webp"):
-                    decode = (decode_gif_frames if fmt == "gif"
-                              else decode_webp_frames)
+                if fmt in ("gif", "webp", "y4m"):
+                    decode = {
+                        "gif": decode_gif_frames,
+                        "webp": decode_webp_frames,
+                        "y4m": decode_y4m_frames,
+                    }[fmt]
                     for i, px in enumerate(decode(bytes(data))):
                         if i % every_n:
                             continue
@@ -309,7 +316,8 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                     raise NotImplementedError(
                         f"video fmt {fmt!r}: inter-frame codecs need "
                         "ffmpeg/av, not available in this environment "
-                        "(mjpeg and animated-gif streams decode for real)"
+                        "(mjpeg, animated gif/webp and y4m streams "
+                        "decode for real)"
                     )
                 for i, frame in enumerate(
                     split_mjpeg_frames(bytes(data))
