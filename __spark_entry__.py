@@ -2324,6 +2324,149 @@ def _derive_image_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of _audio_metadata — shared WITH-clause prefix of every
+# audio-axis oracle below (same pattern as _IMAGE_META_SQL; all-integer
+# metrics by design, so the cross-engine compare never touches a double).
+_AUDIO_META_SQL = """
+    am AS (
+        SELECT doc_id AS audio_id,
+               [8000, 16000, 22050, 44100, 48000][
+                   (('0x' || substr(md5(text), 13, 1))::INT % 5) + 1
+               ] AS sample_rate,
+               (1 + ('0x' || substr(md5(text), 14, 1))::INT // 7)::INT
+                   AS channels,
+               (100 + (('0x' || substr(md5(text), 15, 4))::BIGINT % 40)
+                    * 7000)::BIGINT AS duration_ms,
+               ((('0x' || substr(md5(text), 19, 3))::INT % 128) * 90)::INT
+                   AS clipping_ppm,
+               (-(('0x' || substr(md5(text), 22, 3))::INT % 5000))::INT
+                   AS rms_centi_db
+        FROM documents
+    )
+"""
+
+
+_AUDIO_META_VERSION = "v1-md5"
+_AUDIO_META_PATHS: dict[str, str] = {}
+
+
+def _audio_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """The audio-metadata table, materialized ONCE per sf_dir — the same
+    production shape as ``_image_metadata``: at scale these are columns
+    ``operators.audio.audio_stats`` wrote at ingest, so the contract
+    queries read a cached parquet and only the first call per (sf_dir,
+    version, source mtime) pays the md5 derivation."""
+    import hashlib
+    import os
+
+    key = os.path.abspath(sf)
+    cached = _AUDIO_META_PATHS.get(key)
+    if cached is not None and os.path.exists(os.path.join(cached, "_DONE")):
+        return spark.read.parquet(os.path.join(cached, "meta"))
+    src = os.path.join(key, "documents.parquet")
+    try:
+        src_mtime = str(os.path.getmtime(src))
+    except OSError:
+        src_mtime = "missing"
+    digest = hashlib.sha256(
+        f"{key}|{_AUDIO_META_VERSION}|{src_mtime}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".cache", "audio_meta", digest,
+    )
+    data_path = os.path.join(out_dir, "meta")
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        _derive_audio_metadata(spark, sf).write.mode("overwrite").parquet(
+            data_path
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_AUDIO_META_VERSION)  # written LAST: torn writes never validate
+        os.replace(tmp, marker)
+    _AUDIO_META_PATHS[key] = out_dir
+    return spark.read.parquet(data_path)
+
+
+def _derive_audio_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic audio-metadata derivation from documents (the
+    generator behind ``_audio_metadata``'s cache) — the quantized-integer
+    row ``operators.audio.audio_stats`` produces at ingest: sample rate
+    from a 5-value wheel (8 kHz exercises the bad_rate gate), 1-3
+    channels, 0.1-273.1 s durations, clipping in ppm and loudness in
+    centi-dB (all-integer: immune to the cross-engine double-rounding
+    hazards BASELINE.md documents).  NULL text rows yield NULL metadata
+    on BOTH engines (F.get / DuckDB list[NULL] both return NULL — the
+    image-axis NULL-parity lesson applied from the start)."""
+    docs = _t(spark, sf, "documents")
+
+    def hx(pos: int, ln: int):
+        return F.conv(F.substring(F.md5("text"), pos, ln), 16, 10).cast(
+            "long"
+        )
+
+    rate_wheel = F.array(
+        *[F.lit(r) for r in (8000, 16000, 22050, 44100, 48000)]
+    )
+    return docs.select(
+        F.col("doc_id").alias("audio_id"),
+        F.get(rate_wheel, (hx(13, 1) % 5).cast("int")).alias("sample_rate"),
+        (F.lit(1) + F.floor(hx(14, 1) / 7)).cast("int").alias("channels"),
+        (F.lit(100) + (hx(15, 4) % 40) * 7000).cast("bigint").alias(
+            "duration_ms"
+        ),
+        ((hx(19, 3) % 128) * 90).cast("int").alias("clipping_ppm"),
+        (-(hx(22, 3) % 5000)).cast("int").alias("rms_centi_db"),
+    )
+
+
+def q_audio_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus quality gate over the audio table via the REAL
+    ``operators.audio.audio_quality_flags`` expression — duration, rate
+    allowlist, channel, clipping and loudness checks on five integer
+    metadata columns only (the waveform is never read; see
+    ``operators/audio.py``); the flag array renders as a CSV string
+    (fixed check order) for the cross-engine hash."""
+    from pii_redactor_spark.operators.audio import audio_quality_flags
+
+    meta = _audio_metadata(spark, sf)
+    return meta.withColumn("flags", audio_quality_flags()).select(
+        "audio_id",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+        F.array_join("flags", ",").alias("flags_csv"),
+        (F.size("flags") == 0).alias("keep"),
+    )
+
+
+def q_audio_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-sample-rate corpus accounting after the quality gate: clip and
+    keep counts, kept playback time, and the 30 s-window chunk budget the
+    ASR stage would process (``operators.audio.chunk_audio`` arithmetic:
+    ceil-div via (d + 29999) DIV 30000, all-integer).  One narrow scan +
+    one small hash aggregate."""
+    from pii_redactor_spark.operators.audio import audio_quality_flags
+
+    meta = _audio_metadata(spark, sf)
+    gated = meta.withColumn(
+        "keep", F.size(audio_quality_flags()) == 0
+    )
+    kept = F.when(F.col("keep"), F.col("duration_ms")).otherwise(F.lit(0))
+    return gated.groupBy("sample_rate").agg(
+        F.count("*").alias("n_clips"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(kept).cast("bigint").alias("kept_duration_ms"),
+        F.sum(
+            F.when(
+                F.col("keep"),
+                F.expr("(duration_ms + 29999) DIV 30000"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_chunks"),
+    )
+
+
 def q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs (hamming <= 8) via the REAL
     ``operators.vision.phash_neardup_pairs`` — pigeonhole chunk joins,
@@ -2470,6 +2613,8 @@ def _QUERIES_OLDEST_FIRST() -> dict[
         "image_phash_neardup": q_image_phash_neardup,
         "image_quality_flags": q_image_quality_flags,
         "image_dedup_survivors": q_image_dedup_survivors,
+        "audio_quality_flags": q_audio_quality_flags,
+        "audio_corpus_stats": q_audio_corpus_stats,
     }
 
 
@@ -3662,5 +3807,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE image_id NOT IN (
                 SELECT id FROM labels WHERE id != cluster_id
             )
+        """,
+        "audio_quality_flags": f"""
+            WITH {_AUDIO_META_SQL}
+            SELECT audio_id, sample_rate, channels, duration_ms,
+                   concat_ws(',',
+                       CASE WHEN sample_rate IS NULL OR channels IS NULL
+                                 OR duration_ms IS NULL
+                                 OR clipping_ppm IS NULL
+                                 OR rms_centi_db IS NULL
+                            THEN 'null_metadata' END,
+                       CASE WHEN duration_ms < 300 THEN 'too_short' END,
+                       CASE WHEN duration_ms > 240000 THEN 'too_long' END,
+                       CASE WHEN sample_rate NOT IN
+                                 (16000, 22050, 44100, 48000)
+                            THEN 'bad_rate' END,
+                       CASE WHEN channels > 2 THEN 'bad_channels' END,
+                       CASE WHEN clipping_ppm > 10000 THEN 'clipped' END,
+                       CASE WHEN rms_centi_db < -4500 THEN 'silent' END
+                   ) AS flags_csv,
+                   COALESCE(duration_ms >= 300 AND duration_ms <= 240000
+                            AND sample_rate IN (16000, 22050, 44100, 48000)
+                            AND channels <= 2 AND clipping_ppm <= 10000
+                            AND rms_centi_db >= -4500, FALSE) AS keep
+            FROM am
+        """,
+        "audio_corpus_stats": f"""
+            WITH {_AUDIO_META_SQL}, g AS (
+                SELECT *,
+                       COALESCE(duration_ms >= 300
+                                AND duration_ms <= 240000
+                                AND sample_rate IN
+                                    (16000, 22050, 44100, 48000)
+                                AND channels <= 2
+                                AND clipping_ppm <= 10000
+                                AND rms_centi_db >= -4500, FALSE) AS keep
+                FROM am
+            )
+            SELECT sample_rate,
+                   CAST(COUNT(*) AS BIGINT) AS n_clips,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_keep,
+                   CAST(SUM(CASE WHEN keep THEN duration_ms ELSE 0 END)
+                        AS BIGINT) AS kept_duration_ms,
+                   CAST(SUM(CASE WHEN keep
+                                 THEN (duration_ms + 29999) // 30000
+                                 ELSE 0 END) AS BIGINT) AS kept_chunks
+            FROM g GROUP BY sample_rate
         """,
     }

@@ -1,0 +1,161 @@
+"""WAV (RIFF/WAVE) codec — pure stdlib/NumPy, written against the public
+WAVE file format (Microsoft/IBM Multimedia Programming Interface and Data
+Specifications 1.0, 1991; RFC 2361 WAVE format registry) the way
+``fixtures/jpeg.py`` is written against ITU-T T.81.
+
+Scope (round 5 — opens the AUDIO leg of the multimodal axis; images and
+video already decode for real):
+
+* **Decode** walks RIFF chunks properly (fmt / data plus foreign chunks
+  — LIST, fact, cue, bext — skipped by declared size with word
+  alignment), and supports the PCM family real corpora carry: format 1
+  (integer PCM, 8/16/24/32-bit) and format 3 (IEEE float32), plus the
+  WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapper around either, any channel
+  count, any sample rate.  Output dtype reflects the container exactly
+  — uint8 / int16 / int32 (24-bit widened with the low byte zero, the
+  lossless convention) / float32 — so integer content round-trips
+  **byte-exact**.
+* **Encode** emits canonical little-endian RIFF/WAVE with a single fmt
+  + data pair from a (n_samples, channels) or (n_samples,) array of
+  one of those dtypes.
+* Every parse failure — bad magic, missing fmt/data, truncated payload,
+  byte counts that contradict the declared block align, compressed
+  formats (MP3/ADPCM/µ-law report their format code) — normalizes to
+  ``ValueError`` (compressed codecs are out of scope and refuse
+  LOUDLY via ``NotImplementedError``) so poison-row guards in
+  ``operators/audio.py`` treat corrupt web-scrape bytes uniformly.
+
+Raw-sample slicing is NumPy-vectorized (no entropy coding), so like
+``fixtures/y4m.py`` this has no per-symbol Python floor.
+
+Reference parity note: the reference repo (a-agmon/pii-redactor) is
+text-only; this module serves the north rule's multimodal axis (typed
+binary columns + metadata gates, ``operators/audio.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PCM = 1
+_IEEE_FLOAT = 3
+_EXTENSIBLE = 0xFFFE
+
+# dtype -> (format code, bits per sample)
+_ENCODE_FORMATS = {
+    np.dtype(np.uint8): (_PCM, 8),
+    np.dtype(np.int16): (_PCM, 16),
+    np.dtype(np.int32): (_PCM, 32),
+    np.dtype(np.float32): (_IEEE_FLOAT, 32),
+}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a (n,) or (n, channels) sample array as RIFF/WAVE PCM."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError("samples must be (n,) or (n, channels), n >= 1")
+    if arr.dtype not in _ENCODE_FORMATS:
+        raise ValueError(
+            f"unsupported sample dtype {arr.dtype} "
+            "(uint8/int16/int32 PCM or float32)"
+        )
+    if sample_rate <= 0:
+        raise ValueError(f"bad sample rate {sample_rate}")
+    fmt_code, bits = _ENCODE_FORMATS[arr.dtype]
+    n, ch = arr.shape
+    block_align = ch * bits // 8
+    data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE bytes to ((n_samples, channels) array, rate)."""
+    try:
+        return _decode_inner(bytes(data))
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, struct.error, OverflowError, MemoryError) as exc:
+        raise ValueError(f"corrupt WAV stream: {exc!r}") from exc
+
+
+def _decode_inner(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (RIFF/WAVE header missing)")
+    pos = 12
+    fmt_payload: bytes | None = None
+    data_payload: bytes | None = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt_payload = payload
+        elif tag == b"data":
+            data_payload = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_payload is None or data_payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt_payload) < 16:
+        raise ValueError("WAV fmt chunk too short")
+    fmt_code, ch, rate, _byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt_payload[:16]
+    )
+    if fmt_code == _EXTENSIBLE:
+        # SubFormat GUID: first 2 bytes are the wrapped format code
+        if len(fmt_payload) < 26:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
+        (fmt_code,) = struct.unpack("<H", fmt_payload[24:26])
+    if fmt_code not in (_PCM, _IEEE_FLOAT):
+        raise NotImplementedError(
+            f"WAV format code {fmt_code}: compressed audio codecs "
+            "(ADPCM/MP3/mu-law...) are out of scope in this environment"
+        )
+    if ch == 0 or rate == 0:
+        raise ValueError("WAV declares zero channels or sample rate")
+    if fmt_code == _IEEE_FLOAT:
+        if bits != 32:
+            raise NotImplementedError(f"float{bits} WAV (only float32)")
+        dtype, width = np.dtype("<f4"), 4
+    elif bits == 8:
+        dtype, width = np.dtype(np.uint8), 1
+    elif bits == 16:
+        dtype, width = np.dtype("<i2"), 2
+    elif bits == 24:
+        dtype, width = None, 3  # widened to int32 below
+    elif bits == 32:
+        dtype, width = np.dtype("<i4"), 4
+    else:
+        raise ValueError(f"WAV declares {bits}-bit PCM")
+    if block_align != ch * width:
+        raise ValueError(
+            f"WAV block align {block_align} contradicts "
+            f"{ch} channel(s) x {width} byte(s)"
+        )
+    n_frames, rem = divmod(len(data_payload), block_align)
+    if rem or n_frames == 0:
+        raise ValueError("WAV data chunk is not a whole number of frames")
+    if bits == 24:
+        raw = np.frombuffer(data_payload, np.uint8).reshape(-1, 3)
+        widened = np.zeros((raw.shape[0], 4), np.uint8)
+        widened[:, 1:] = raw  # low byte zero: value << 8, sign preserved
+        arr = widened.view("<i4").reshape(n_frames, ch)
+    else:
+        arr = np.frombuffer(data_payload, dtype).reshape(n_frames, ch)
+    return arr.astype(dtype if bits != 24 else np.int32, copy=True), rate

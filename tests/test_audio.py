@@ -1,0 +1,241 @@
+"""Audio axis tests — WAV codec exactness, quantized signal stats vs
+hand-computed values, the metadata-only quality gate (incl. NULL
+parity), chunking, resample, and poison-row survival through Spark."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from pii_redactor_spark.fixtures.wav import decode_wav, encode_wav
+
+# --- codec ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "dtype,lo,hi",
+    [
+        (np.uint8, 0, 255),
+        (np.int16, -32768, 32767),
+        (np.int32, -(2**31), 2**31 - 1),
+    ],
+)
+def test_pcm_round_trip_byte_exact(dtype, lo, hi):
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 6):
+        samples = rng.integers(lo, hi, (777, ch)).astype(dtype)
+        dec, rate = decode_wav(encode_wav(samples, 44_100))
+        assert rate == 44_100
+        assert dec.dtype == samples.dtype and (dec == samples).all()
+
+
+def test_float32_round_trip_byte_exact():
+    rng = np.random.default_rng(5)
+    samples = rng.normal(0, 0.25, (500, 2)).astype(np.float32)
+    dec, rate = decode_wav(encode_wav(samples, 16_000))
+    assert rate == 16_000
+    assert dec.dtype == np.float32
+    assert (dec.view(np.uint32) == samples.view(np.uint32)).all()
+
+
+def test_mono_1d_input_becomes_column():
+    samples = np.arange(100, dtype=np.int16)
+    dec, _ = decode_wav(encode_wav(samples, 8_000))
+    assert dec.shape == (100, 1) and (dec[:, 0] == samples).all()
+
+
+def test_foreign_chunks_skipped_and_24bit_widens():
+    """Hand-built stream: LIST chunk before fmt, 24-bit PCM, odd-size
+    chunk word alignment — the RIFF walker must handle all three."""
+    frames = np.array([[1], [-1], [8388607], [-8388608]], np.int32)
+    payload = b"".join(
+        int(v).to_bytes(3, "little", signed=True) for v in frames[:, 0]
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 22_050, 22_050 * 3, 3, 24)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec, rate = decode_wav(data)
+    assert rate == 22_050 and dec.dtype == np.int32
+    assert (dec[:, 0] == frames[:, 0] * 256).all()  # widened << 8
+
+
+def test_extensible_wrapper_unwraps_to_pcm():
+    samples = np.arange(-50, 50, dtype=np.int16).reshape(-1, 1)
+    data = bytearray(encode_wav(samples, 48_000))
+    i = data.find(b"fmt ")
+    # rewrite fmt as WAVE_FORMAT_EXTENSIBLE (0xFFFE) + 10-byte tail whose
+    # SubFormat leads with the wrapped code (1 = PCM)
+    # 16-byte base + cbSize + validBits + channelMask + 16-byte SubFormat
+    # GUID whose leading 2 bytes are the wrapped format code (1 = PCM)
+    fmt = (
+        struct.pack("<HHIIHHHHI", 0xFFFE, 1, 48_000, 96_000, 2, 16,
+                    22, 16, 0x4)
+        + struct.pack("<H", 1) + b"\x00" * 14
+    )
+    rebuilt = (
+        bytes(data[:i]) + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + bytes(data[i + 8 + 16:])
+    )
+    rebuilt = (
+        b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    )
+    dec, _ = decode_wav(rebuilt)
+    assert (dec == samples).all()
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda d: b"JUNK" + d[4:],                       # bad magic
+        lambda d: d[:-3],                                # truncated data
+        lambda d: d.replace(b"data", b"datx", 1),        # missing data
+        lambda d: d.replace(b"fmt ", b"fmtx", 1),        # missing fmt
+    ],
+)
+def test_corrupt_wav_raises_valueerror(mutate):
+    data = encode_wav(np.zeros((10, 1), np.int16), 8_000)
+    with pytest.raises(ValueError):
+        decode_wav(mutate(data))
+
+
+def test_compressed_formats_refuse_loudly():
+    data = bytearray(encode_wav(np.zeros((10, 1), np.int16), 8_000))
+    i = data.find(b"fmt ") + 8
+    data[i:i + 2] = struct.pack("<H", 2)  # ADPCM format code
+    with pytest.raises(NotImplementedError, match="format code 2"):
+        decode_wav(bytes(data))
+
+
+# --- stats ----------------------------------------------------------------
+
+
+def test_audio_stats_known_signal(spark):
+    """A full-scale int16 square wave: RMS = 0 dBFS (within LSB), 100%
+    clipping, ~2*f zero crossings/s — every quantized metric checkable
+    by hand."""
+    from pii_redactor_spark.operators.audio import audio_stats
+
+    rate, secs, f = 16_000, 2, 100
+    t = np.arange(rate * secs)
+    square = np.where((t * f * 2 // rate) % 2 == 0, 32767, -32768)
+    wav = encode_wav(square.astype(np.int16), rate)
+    df = spark.createDataFrame(
+        [("a1", bytearray(wav)), ("bad", bytearray(b"RIFFjunk"))],
+        "audio_id string, bytes binary",
+    )
+    rows = {r["audio_id"]: r for r in audio_stats(df).collect()}
+    a = rows["a1"]
+    assert a["ok"] and a["sample_rate"] == rate
+    assert a["n_samples"] == rate * secs
+    assert a["duration_ms"] == secs * 1000
+    assert a["clipping_ppm"] == 1_000_000          # every sample at rail
+    assert -2 <= a["rms_centi_db"] <= 0            # 0 dBFS within LSB
+    # square wave at f Hz crosses zero 2f times/s => 2f/rate per sample
+    assert abs(a["zero_cross_permille"] - round(2000 * f / rate)) <= 1
+    bad = rows["bad"]
+    assert not bad["ok"] and bad["sample_rate"] is None
+
+
+def test_audio_stats_silence_floor(spark):
+    from pii_redactor_spark.operators.audio import audio_stats
+
+    wav = encode_wav(np.zeros((8_000, 1), np.int16), 8_000)
+    df = spark.createDataFrame(
+        [("s", bytearray(wav))], "audio_id string, bytes binary"
+    )
+    row = audio_stats(df).collect()[0]
+    assert row["rms_centi_db"] == -9600 and row["clipping_ppm"] == 0
+
+
+# --- quality gate ----------------------------------------------------------
+
+
+def test_audio_quality_flags_each_gate(spark):
+    from pii_redactor_spark.operators.audio import (
+        audio_quality_flags,
+        with_audio_quality,
+    )
+
+    rows = [
+        # (id, rate, ch, dur_ms, clip_ppm, rms_cdb, expected_flags_csv)
+        ("clean", 16_000, 1, 5_000, 0, -1_200, ""),
+        ("short", 44_100, 2, 100, 0, -1_200, "too_short"),
+        ("long", 44_100, 2, 300_000, 0, -1_200, "too_long"),
+        ("rate", 8_000, 1, 5_000, 0, -1_200, "bad_rate"),
+        ("chans", 48_000, 6, 5_000, 0, -1_200, "bad_channels"),
+        ("clip", 48_000, 1, 5_000, 500_000, -100, "clipped"),
+        ("quiet", 48_000, 1, 5_000, 0, -8_000, "silent"),
+        ("nullm", None, 1, 5_000, 0, -1_200, "null_metadata"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "audio_id string, sample_rate int, channels int, "
+        "duration_ms bigint, clipping_ppm int, rms_centi_db int",
+    )
+    import pyspark.sql.functions as F
+
+    got = {
+        r["audio_id"]: r["csv"]
+        for r in df.select(
+            "audio_id",
+            F.array_join(audio_quality_flags(), ",").alias("csv"),
+        ).collect()
+    }
+    for rid, *_rest, want in rows:
+        assert got[rid] == want, (rid, got[rid], want)
+    kept = (
+        with_audio_quality(df.withColumn("keep", F.lit(True)),
+                           keep_col="keep")
+        .where("keep").select("audio_id").collect()
+    )
+    assert [r["audio_id"] for r in kept] == ["clean"]
+
+
+# --- chunking + resample -----------------------------------------------------
+
+
+def test_chunk_audio_windows_and_tail(spark):
+    from pii_redactor_spark.operators.audio import chunk_audio
+
+    rate = 8_000
+    samples = np.arange(rate * 2 + 1234, dtype=np.int16).reshape(-1, 1)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_wav(samples, rate))),
+         ("junk", bytearray(b"not a wav"))],
+        "audio_id string, bytes binary",
+    )
+    rows = sorted(
+        chunk_audio(df, chunk_ms=1_000).collect(),
+        key=lambda r: r["chunk_no"],
+    )
+    assert [r["audio_id"] for r in rows] == ["a", "a", "a"]
+    assert [r["n_samples"] for r in rows] == [rate, rate, 1234]
+    rebuilt = np.concatenate(
+        [decode_wav(bytes(r["bytes"]))[0] for r in rows]
+    )
+    assert (rebuilt == samples).all()  # lossless split
+
+
+def test_resample_preserves_tone_and_duration(spark):
+    from pii_redactor_spark.operators.audio import resample_audio
+
+    rate, target, f = 48_000, 16_000, 440
+    t = np.arange(rate) / rate
+    tone = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype(np.int16)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_wav(tone, rate)))],
+        "audio_id string, bytes binary",
+    )
+    row = resample_audio(df, target).collect()[0]
+    assert row["sample_rate"] == target
+    out, _ = decode_wav(bytes(row["bytes"]))
+    assert out.shape[0] == target  # 1 second stays 1 second
+    # dominant DFT bin still at 440 Hz
+    spec = np.abs(np.fft.rfft(out[:, 0].astype(np.float64)))
+    assert abs(int(np.argmax(spec)) - f) <= 1

@@ -204,3 +204,41 @@ def test_image_oracle_null_metadata_parity(spark, tmp_root):
     null_row = [r for r in s_rows if r[s_cols.index("image_id")] == 2][0]
     assert null_row[s_cols.index("flags_csv")] == "null_metadata", null_row
     assert null_row[s_cols.index("keep")] is False, null_row
+
+
+def test_audio_oracle_null_metadata_parity(spark, tmp_root):
+    """Audio axis (round 5): same NULL-parity contract as the image and
+    toxicity axes — a NULL-text document must flag 'null_metadata' with
+    keep=false on BOTH engines (F.get / DuckDB list[NULL] both yield
+    NULL metadata; the oracle's concat_ws + COALESCE mirror the engine's
+    array_compact + size==0)."""
+    import duckdb as _dd
+
+    sf_dir = f"{tmp_root}/null_audio_sf"
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary caption about a lake", "en", "s", 42),
+         (2, None, "en", "s", 0),
+         (3, "another caption, short", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = _dd.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("audio_quality_flags", "audio_corpus_stats"):
+        s_cols, s_rows = _multiset(
+            entrymod.queries()[name](spark, sf_dir).toPandas()
+        )
+        o_cols, o_rows = _multiset(con.sql(entrymod.oracle_sql()[name]).df())
+        assert s_cols == o_cols, (name, s_cols, o_cols)
+        assert s_rows == o_rows, (name, s_rows, o_rows)
+    s_cols, s_rows = _multiset(
+        entrymod.queries()["audio_quality_flags"](spark, sf_dir).toPandas()
+    )
+    null_row = [r for r in s_rows if r[s_cols.index("audio_id")] == 2][0]
+    assert null_row[s_cols.index("flags_csv")] == "null_metadata", null_row
+    assert null_row[s_cols.index("keep")] is False, null_row
