@@ -80,6 +80,7 @@ def main() -> None:
     image_decode = _image_decode_bench(spark)
     dedup_scale = _dedup_scale_bench(spark)
     ann_scale = _ann_scale_bench(spark)
+    audio_scale = _audio_scale_bench(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -98,6 +99,8 @@ def main() -> None:
         out["dedup_scale"] = dedup_scale
     if ann_scale is not None:
         out["ann_scale"] = ann_scale
+    if audio_scale is not None:
+        out["audio_scale"] = audio_scale
     prev = _previous_round_timings()
     if prev:
         out["prev_delta"] = {
@@ -483,6 +486,107 @@ def _ann_scale_bench(spark) -> dict | None:
         import traceback
 
         print(f"# ann_scale leg failed: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def _audio_scale_bench(spark) -> dict | None:
+    """At-scale timing for the audio family (round 5): WAV decode +
+    signal stats (``audio_stats``), the metadata-only quality gate, ASR
+    chunking, and resample-to-16k over a cached synthetic corpus with
+    planted gate-triggering rows AND ~1% corrupt rows, so the poison
+    guard is inside the measured path like a real web scrape.  Reports
+    clips/sec and — the work-normalized number, since clip lengths span
+    0.12 s to 5 min — audio-seconds decoded per second.
+    ``BENCH_AUDIO_ROWS=0`` skips; any failure returns None (the headline
+    bench never dies on this leg)."""
+    try:
+        from pyspark.sql import functions as F
+
+        from pii_redactor_spark.fixtures.audio_corpus import (
+            ensure_cached_audio_corpus,
+        )
+        from pii_redactor_spark.operators.audio import (
+            audio_quality_flags,
+            audio_stats,
+            chunk_audio,
+            resample_audio,
+        )
+
+        rows = int(os.environ.get("BENCH_AUDIO_ROWS", "20000"))
+        if rows <= 0:
+            return None
+        path = ensure_cached_audio_corpus(
+            spark, f"/root/repo/.cache/audio_fx_{rows}", rows
+        )
+        clips = spark.read.parquet(path).select("audio_id", "bytes")
+        out: dict = {"n_clips": rows}
+
+        # warm the Python workers so the timing is steady-state
+        force(audio_stats(clips.limit(256)))
+
+        # --- decode + stats (the ingest pass every later gate reads) ----
+        t0 = time.perf_counter()
+        stats = audio_stats(clips)
+        agg = stats.agg(
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum("duration_ms").alias("total_ms"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        audio_s = (agg["total_ms"] or 0) / 1000.0
+        out["decode_stats"] = {
+            "sec": round(dt, 3),
+            "clips_per_sec": round(rows / dt, 1),
+            "audio_sec_per_sec": round(audio_s / dt, 1),
+            "n_ok": int(agg["n_ok"] or 0),
+            "n_poison": rows - int(agg["n_ok"] or 0),
+            "total_audio_sec": round(audio_s, 1),
+        }
+
+        # --- metadata-only gate: rides the SAME decode pass (cheap agg
+        # on top), so its marginal cost is what the plan claims: ~zero --
+        t0 = time.perf_counter()
+        kept = (
+            audio_stats(clips)
+            .withColumn("keep", F.size(audio_quality_flags()) == 0)
+            .agg(F.sum(F.col("keep").cast("long")).alias("k"))
+            .collect()[0]["k"]
+        )
+        dt = time.perf_counter() - t0
+        out["quality_gate"] = {
+            "sec": round(dt, 3),
+            "clips_per_sec": round(rows / dt, 1),
+            "n_keep": int(kept or 0),
+            "keep_frac": round(int(kept or 0) / rows, 4),
+        }
+
+        # --- ASR chunking (decode + window + re-encode per chunk) -------
+        t0 = time.perf_counter()
+        # count() (not the noop force, which returns no rows): the chunk
+        # count is the leg's sanity output, and counting a mapInPandas
+        # result executes the full decode+window+re-encode path anyway
+        n_chunks = chunk_audio(clips, chunk_ms=500).count()
+        dt = time.perf_counter() - t0
+        out["chunk_500ms"] = {
+            "sec": round(dt, 3),
+            "clips_per_sec": round(rows / dt, 1),
+            "out_chunks": n_chunks,
+        }
+
+        # --- resample to 16 kHz (decode + interp + re-encode) -----------
+        t0 = time.perf_counter()
+        force(resample_audio(clips, 16_000).select("audio_id"))
+        dt = time.perf_counter() - t0
+        out["resample_16k"] = {
+            "sec": round(dt, 3),
+            "clips_per_sec": round(rows / dt, 1),
+            "audio_sec_per_sec": round(audio_s / dt, 1),
+        }
+        return out
+    except Exception as exc:
+        import traceback
+
+        print(f"# audio_scale leg failed: {exc!r}", file=sys.stderr)
         traceback.print_exc(file=sys.stderr)
         return None
 

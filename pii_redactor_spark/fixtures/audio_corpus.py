@@ -1,0 +1,170 @@
+"""Cached synthetic WAV corpus for the audio-at-scale bench leg — the
+audio analog of ``fixtures/images.py`` (image decode leg) and
+``fixtures/dedup_corpus.py`` (dedup leg).
+
+Design goals, same as those modules:
+
+* **Deterministic at any parallelism** — every row is keyed by its id
+  (``rng_for(audio_id)``), generated distributed via ``mapInPandas``
+  over ``spark.range``, so 1 or 32 executor threads produce identical
+  bytes.
+* **Planted structure the operators exist for** — the signal-kind wheel
+  plants rows for every ``audio_quality_flags`` gate (clipped tones,
+  near-silence, 3-channel rows, an 8 kHz bad-rate band, over-long and
+  sub-300 ms clips) plus ~1% corrupt rows (truncated / non-RIFF bytes)
+  so the poison-row guard is part of the measured path, exactly like a
+  real web scrape.
+* **Generate-once caching keyed on a source fingerprint** — a change to
+  this module or the WAV codec regenerates instead of silently timing
+  stale content; the ``_GEN_DONE`` marker is written LAST so torn
+  writes never validate.
+
+Row mix (per-row independent draws; fractions are expectations):
+70% int16, 10% uint8, 10% int32, 10% float32 containers; 70% mono /
+25% stereo / 5% 3-channel; rate wheel (16k ×2, 22.05k, 44.1k, 48k, 8k);
+signal kinds tone/noise/clipped/silence at 55/25/10/10; durations
+log-uniform 0.12-3.0 s (plus a 0.5% over-4-minute band encoded at 8 kHz
+mono so the too_long gate fires without bloating the fixture).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .captions import rng_for
+from .wav import encode_wav
+
+_RATES = (16_000, 16_000, 22_050, 44_100, 48_000, 8_000)
+_DTYPES = (np.int16, np.int16, np.int16, np.int16, np.int16,
+           np.int16, np.int16, np.uint8, np.int32, np.float32)
+CORRUPT_FRAC = 0.01
+
+
+def _quantize(x: np.ndarray, dtype: type) -> np.ndarray:
+    """Float [-1,1] samples -> container dtype (matching _to_float)."""
+    if dtype is np.uint8:
+        return np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    if dtype is np.int16:
+        return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    if dtype is np.int32:
+        return np.clip(
+            np.round(x * 2147483648.0), -2147483648, 2147483647
+        ).astype(np.int32)
+    return x.astype(np.float32)
+
+
+def generate_audio_row(audio_id: str) -> dict:
+    """One deterministic (audio_id, bytes, kind) row."""
+    rng = rng_for(audio_id + "#wav")
+    rate = int(_RATES[rng.integers(0, len(_RATES))])
+    dtype = _DTYPES[rng.integers(0, len(_DTYPES))]
+    ch_draw = rng.random()
+    channels = 1 if ch_draw < 0.70 else (2 if ch_draw < 0.95 else 3)
+    if rng.random() < 0.005:
+        # too_long band: > 240 s, pinned to 8 kHz mono so one row stays
+        # ~0.5 MB instead of tens of MB
+        rate, channels = 8_000, 1
+        dur_s = float(rng.uniform(245.0, 300.0))
+    else:
+        dur_s = float(np.exp(rng.uniform(np.log(0.12), np.log(3.0))))
+    n = max(1, int(rate * dur_s))
+    t = np.arange(n, dtype=np.float64) / rate
+    kind_draw = rng.random()
+    if kind_draw < 0.55:
+        kind = "tone"
+        x = np.zeros(n)
+        for _ in range(int(rng.integers(1, 4))):
+            x += rng.uniform(0.08, 0.35) * np.sin(
+                2 * np.pi * rng.uniform(80.0, 3500.0) * t
+                + rng.uniform(0, 2 * np.pi)
+            )
+    elif kind_draw < 0.80:
+        kind = "noise"
+        x = rng.normal(0.0, rng.uniform(0.03, 0.25), size=n)
+    elif kind_draw < 0.90:
+        kind = "clipped"  # amplitude > full scale => clipping_ppm fires
+        x = rng.uniform(1.3, 2.0) * np.sin(
+            2 * np.pi * rng.uniform(100.0, 1000.0) * t
+        )
+    else:
+        kind = "silence"  # < -45 dBFS => silent flag fires
+        x = rng.normal(0.0, 1.5e-4, size=n)
+    x = np.clip(x, -1.0, 1.0)
+    if channels == 1:
+        samples = x[:, None]
+    else:
+        # per-channel gain + tiny delay so channels differ but stay
+        # correlated like real stereo
+        cols = [x]
+        for c in range(1, channels):
+            cols.append(np.roll(x, c) * rng.uniform(0.8, 1.0))
+        samples = np.stack(cols, axis=1)
+    data = encode_wav(_quantize(samples, dtype), rate)
+    if rng.random() < CORRUPT_FRAC:
+        kind = "corrupt"
+        data = data[: max(12, len(data) // 2)] if rng.random() < 0.5 \
+            else b"\x00" * 64
+    return {"audio_id": audio_id, "bytes": data, "kind": kind}
+
+
+def write_audio_corpus(
+    spark, out_dir: str, n_rows: int, partitions: int | None = None
+) -> None:
+    """Distributed deterministic generation (mapInPandas over a range)."""
+    parts = partitions or max(32, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                generate_audio_row(f"au{int(i):010d}") for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(gen, schema="audio_id string, bytes binary, kind string")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "audio"))
+    )
+
+
+def corpus_fingerprint() -> str:
+    """SHA-256 over this module + the WAV codec — a change to either
+    regenerates the cache (same contract as images.fixture_fingerprint)."""
+    h = hashlib.sha256()
+    here = os.path.dirname(os.path.abspath(__file__))
+    read_any = False
+    for fname in ("audio_corpus.py", "wav.py"):
+        try:
+            with open(os.path.join(here, fname), "rb") as f:
+                h.update(f.read())
+            read_any = True
+        except OSError:
+            continue
+    if not read_any:  # zip deployment: sources unreadable, pin by version
+        h.update(b"audio-corpus-v1")
+    return h.hexdigest()[:16]
+
+
+def ensure_cached_audio_corpus(
+    spark, out_dir: str, n_rows: int, partitions: int | None = None
+) -> str:
+    """Generate-once cached corpus; returns the audio table path."""
+    marker = os.path.join(out_dir, "_GEN_DONE")
+    want = f"{corpus_fingerprint()}:{n_rows}:{partitions}"
+    data = os.path.join(out_dir, "audio")
+    if os.path.exists(marker) and os.path.isdir(data):
+        with open(marker) as f:
+            if f.read().strip() == want:
+                return data
+    write_audio_corpus(spark, out_dir, n_rows, partitions)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(want)
+    os.replace(tmp, marker)
+    return data

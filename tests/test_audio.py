@@ -239,3 +239,59 @@ def test_resample_preserves_tone_and_duration(spark):
     # dominant DFT bin still at 440 Hz
     spec = np.abs(np.fft.rfft(out[:, 0].astype(np.float64)))
     assert abs(int(np.argmax(spec)) - f) <= 1
+
+
+# --- bench corpus fixture --------------------------------------------------
+
+
+def test_audio_corpus_row_deterministic_and_typed():
+    """Same id => identical bytes (any-parallelism determinism contract);
+    decodable rows parse with the real codec; the kind wheel plants every
+    gate (probabilistic mix checked over a 400-row slice)."""
+    from collections import Counter
+
+    from pii_redactor_spark.fixtures.audio_corpus import generate_audio_row
+
+    a = generate_audio_row("au0000000007")
+    b = generate_audio_row("au0000000007")
+    assert a["bytes"] == b["bytes"] and a["kind"] == b["kind"]
+    kinds = Counter()
+    for i in range(400):
+        row = generate_audio_row(f"au{i:010d}")
+        kinds[row["kind"]] += 1
+        if row["kind"] == "corrupt":
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_wav(row["bytes"])
+        else:
+            samples, rate = decode_wav(row["bytes"])
+            assert samples.shape[0] >= 1 and rate >= 8000
+    # every signal kind present at its rough expectation (55/25/10/10 ±)
+    for kind in ("tone", "noise", "clipped", "silence"):
+        assert kinds[kind] > 10, kinds
+
+
+def test_audio_corpus_cache_regenerates_on_fingerprint_change(
+    spark, tmp_path
+):
+    from pii_redactor_spark.fixtures import audio_corpus as ac
+
+    out = str(tmp_path / "aufx")
+    p1 = ac.ensure_cached_audio_corpus(spark, out, 64, partitions=4)
+    first = sorted(
+        f.name for f in (tmp_path / "aufx" / "audio").glob("*.parquet")
+    )
+    # fresh marker: second call must NOT regenerate (same file listing,
+    # same mtimes)
+    import os
+
+    mt = {f: os.path.getmtime(str(tmp_path / "aufx" / "audio" / f))
+          for f in first}
+    p2 = ac.ensure_cached_audio_corpus(spark, out, 64, partitions=4)
+    assert p1 == p2
+    for f in first:
+        assert os.path.getmtime(str(tmp_path / "aufx" / "audio" / f)) == \
+            mt[f]
+    # row-count change regenerates
+    ac.ensure_cached_audio_corpus(spark, out, 32, partitions=4)
+    n = spark.read.parquet(p1).count()
+    assert n == 32

@@ -20,6 +20,7 @@ def test_bench_emits_one_json_line():
         BENCH_IMAGE_ROWS="2000",
         BENCH_DEDUP_ROWS="5000",
         BENCH_ANN_ROWS="4000",
+        BENCH_AUDIO_ROWS="2000",
     )
     proc = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"],
@@ -54,3 +55,14 @@ def test_bench_emits_one_json_line():
         ann["ivf_store"]["nprobe_4"]["recall_at_10"] - 0.2
     assert ann["ivf_store"]["nprobe_16"]["recall_at_10"] >= 0.8
     assert ann["ivf_store"]["max_cell_bytes"] > 0
+    # the audio-at-scale leg must be present and sane (round 5)
+    au = out["audio_scale"]
+    assert au["n_clips"] == 2000
+    assert au["decode_stats"]["clips_per_sec"] > 0
+    assert au["decode_stats"]["audio_sec_per_sec"] > 0
+    # planted ~1% corrupt rows survive as poison accounting, not crashes
+    assert 0 < au["decode_stats"]["n_poison"] < 2000 * 0.05
+    assert 0 < au["quality_gate"]["n_keep"] < 2000
+    # 0.12-3 s clips at 500 ms windows => strictly more chunks than clips
+    assert au["chunk_500ms"]["out_chunks"] > au["decode_stats"]["n_ok"]
+    assert au["resample_16k"]["clips_per_sec"] > 0
