@@ -2055,6 +2055,43 @@ def q_multimodal_joint_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_trimodal_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The joint keep/drop shape extended to THREE modalities: a training
+    row survives iff the CAPTION passes the Arrow-vectorized scrub gate,
+    the IMAGE passes its metadata gate, and the AUDIO track passes its
+    metadata gate (``operators.audio.audio_quality_flags`` — duration /
+    rate / channels / clipping / loudness on five integer columns).  The
+    plan is the 100 TB shape: one narrow UDF pass over captions, two
+    expression-only scans of materialized metadata (neither blob is ever
+    read), two equi-joins on the id, and a single 8-cell hash aggregate —
+    nothing wide ever shuffles."""
+    from pii_redactor_spark.operators.audio import audio_quality_flags
+    from pii_redactor_spark.operators.scrub import (
+        parallelize_for_udf,
+        scrub_udf,
+    )
+    from pii_redactor_spark.operators.vision import image_quality_flags
+
+    docs = parallelize_for_udf(_t(spark, sf, "documents"))
+    cap = docs.select(
+        "doc_id", scrub_udf(F.col("text")).getField("keep").alias("cap_keep")
+    )
+    img = _image_metadata(spark, sf).select(
+        F.col("image_id").alias("doc_id"),
+        (F.size(image_quality_flags()) == 0).alias("img_keep"),
+    )
+    aud = _audio_metadata(spark, sf).select(
+        F.col("audio_id").alias("doc_id"),
+        (F.size(audio_quality_flags()) == 0).alias("aud_keep"),
+    )
+    return (
+        cap.join(img, "doc_id")
+        .join(aud, "doc_id")
+        .groupBy("cap_keep", "img_keep", "aud_keep")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global aggregate — the query whose
     entire cost is scan efficiency.  Every predicate (date range,
@@ -2615,6 +2652,7 @@ def _QUERIES_OLDEST_FIRST() -> dict[
         "image_dedup_survivors": q_image_dedup_survivors,
         "audio_quality_flags": q_audio_quality_flags,
         "audio_corpus_stats": q_audio_corpus_stats,
+        "multimodal_trimodal_filter": q_multimodal_trimodal_filter,
     }
 
 
@@ -3854,5 +3892,26 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (duration_ms + 29999) // 30000
                                  ELSE 0 END) AS BIGINT) AS kept_chunks
             FROM g GROUP BY sample_rate
+        """,
+        "multimodal_trimodal_filter": f"""
+            WITH {_IMAGE_META_SQL}, {_AUDIO_META_SQL}
+            SELECT s.keep AS cap_keep,
+                   COALESCE(least(m.w, m.h) >= 64
+                            AND greatest(m.w, m.h) / least(m.w, m.h) <= 4.0
+                            AND m.fmt IN ('png', 'jpeg'), FALSE)
+                       AS img_keep,
+                   COALESCE(am.duration_ms >= 300
+                            AND am.duration_ms <= 240000
+                            AND am.sample_rate IN
+                                (16000, 22050, 44100, 48000)
+                            AND am.channels <= 2
+                            AND am.clipping_ppm <= 10000
+                            AND am.rms_centi_db >= -4500, FALSE)
+                       AS aud_keep,
+                   COUNT(*) AS n_rows
+            FROM read_parquet('{scrub_path}') s
+            JOIN m ON s.doc_id = m.image_id
+            JOIN am ON s.doc_id = am.audio_id
+            GROUP BY 1, 2, 3
         """,
     }
