@@ -197,9 +197,17 @@ def chunk_audio(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
     if chunk_ms <= 0:
         raise ValueError(f"chunk_ms must be positive, got {chunk_ms}")
 
+    cols = ["audio_id", "chunk_no", "bytes", "n_samples", "sample_rate"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Fan-out stage: one input clip can yield hundreds of chunk rows
+        # (a 4-minute clip at 500 ms windows is 480), so the output is
+        # flushed in bounded slices instead of buffering a whole Arrow
+        # batch's fan-out in one pandas frame — at 10k-row input batches
+        # the unbounded form is a per-task OOM at exactly the corpus
+        # shapes chunking exists for.
+        out: list[tuple] = []
         for pdf in batches:
-            out = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 try:
                     samples, rate = decode_wav(bytes(data))
@@ -212,11 +220,10 @@ def chunk_audio(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
                         (aid, i, encode_wav(win, rate),
                          win.shape[0], rate)
                     )
-            yield pd.DataFrame(
-                out,
-                columns=["audio_id", "chunk_no", "bytes",
-                         "n_samples", "sample_rate"],
-            )
+                if len(out) >= 2048:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(gen, schema=CHUNK_SCHEMA)
 

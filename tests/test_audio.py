@@ -295,3 +295,23 @@ def test_audio_corpus_cache_regenerates_on_fingerprint_change(
     ac.ensure_cached_audio_corpus(spark, out, 32, partitions=4)
     n = spark.read.parquet(p1).count()
     assert n == 32
+
+
+def test_chunk_audio_bounded_flush_preserves_all_chunks(spark):
+    """A single clip whose fan-out exceeds the 2048-row flush slice must
+    still emit every chunk exactly once (the bounded-buffer path)."""
+    rng = np.random.default_rng(11)
+    pcm = (rng.normal(0, 0.2, 8000 * 30).clip(-1, 1) * 32767).astype(
+        np.int16
+    )
+    from pii_redactor_spark.operators.audio import chunk_audio
+
+    df = spark.createDataFrame(
+        [("big", bytearray(encode_wav(pcm, 8000)))],
+        "audio_id string, bytes binary",
+    )
+    out = chunk_audio(df, chunk_ms=10).toPandas()
+    # 30 s at 10 ms windows = 3000 full windows (240000 / 80)
+    assert len(out) == 3000
+    assert sorted(out["chunk_no"]) == list(range(3000))
+    assert (out["n_samples"] == 80).all()
