@@ -582,6 +582,69 @@ def _audio_scale_bench(spark) -> dict | None:
             "clips_per_sec": round(rows / dt, 1),
             "audio_sec_per_sec": round(audio_s / dt, 1),
         }
+
+        # --- spectral fingerprint + pigeonhole near-dup join ------------
+        # ground truth: every DUP_STRIDE-th row is a planted -46 dB
+        # re-encode of its predecessor; recall is measured over planted
+        # pairs whose BOTH sides survive decode + the degeneracy filter
+        # (all-floor fingerprints — digital silence — are semantic
+        # near-dups of each other and would pair quadratically; a real
+        # pipeline drops them at the quality gate first, so the join
+        # runs on non-degenerate fingerprints only, and the filter is
+        # itself part of the measured path)
+        from pii_redactor_spark.fixtures.audio_corpus import DUP_STRIDE
+        from pii_redactor_spark.operators.audio import (
+            audio_fingerprints,
+            audio_neardup_pairs,
+        )
+
+        t0 = time.perf_counter()
+        fps = audio_fingerprints(clips).where(F.col("ok"))
+        pc = F.bit_count("fingerprint")
+        solid = fps.where((pc >= 8) & (pc <= 56)).localCheckpoint()
+        n_solid = solid.count()
+        fp_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pairs = audio_neardup_pairs(solid, max_hamming=4).localCheckpoint()
+        n_pairs = pairs.count()
+        join_dt = time.perf_counter() - t0
+        # recall ground truth: planted pairs whose BOTH sides survive the
+        # filters and whose base is not 'silence' (a noisy re-encode of
+        # digital silence is a different random noise floor — no
+        # fingerprint should call those dups, and the quality gate drops
+        # silence rows before dedup anyway)
+        num = F.substring("audio_id", 3, 10).cast("long")
+        ids = solid.select(num.alias("i"))
+        bases = (
+            spark.read.parquet(path)
+            .where(F.col("kind") != "silence")
+            .select(num.alias("i"))
+        )
+        planted = (
+            ids.where(F.col("i") % DUP_STRIDE == DUP_STRIDE - 1)
+            .join(ids.selectExpr("i + 1 AS i"), "i", "inner")
+            .join(bases.selectExpr("i + 1 AS i"), "i", "left_semi")
+            .count()
+        )
+        pa = F.substring("id_a", 3, 10).cast("long")
+        pb = F.substring("id_b", 3, 10).cast("long")
+        hit = (
+            pairs.where(
+                (pb == pa + 1) & (pa % DUP_STRIDE == DUP_STRIDE - 2)
+            )
+            .join(bases.selectExpr("i AS _ba"),
+                  pa == F.col("_ba"), "left_semi")
+            .count()
+        )
+        out["fingerprint_neardup"] = {
+            "fingerprint_sec": round(fp_dt, 3),
+            "fingerprint_clips_per_sec": round(rows / fp_dt, 1),
+            "join_sec": round(join_dt, 3),
+            "n_solid": n_solid,
+            "pairs_found": n_pairs,
+            "planted_pairs": planted,
+            "planted_recall": round(hit / planted, 4) if planted else None,
+        }
         return out
     except Exception as exc:
         import traceback

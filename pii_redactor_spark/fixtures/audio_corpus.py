@@ -58,9 +58,12 @@ def _quantize(x: np.ndarray, dtype: type) -> np.ndarray:
     return x.astype(np.float32)
 
 
-def generate_audio_row(audio_id: str) -> dict:
-    """One deterministic (audio_id, bytes, kind) row."""
-    rng = rng_for(audio_id + "#wav")
+DUP_STRIDE = 20  # row idx % 20 == 19 is a noisy re-encode of idx - 1
+
+
+def _signal(rng: np.random.Generator) -> tuple[np.ndarray, int, type, str]:
+    """Deterministic (samples, rate, dtype, kind) for one row — split out
+    so planted duplicate rows can rebuild their BASE row's signal."""
     rate = int(_RATES[rng.integers(0, len(_RATES))])
     dtype = _DTYPES[rng.integers(0, len(_DTYPES))]
     ch_draw = rng.random()
@@ -76,12 +79,22 @@ def generate_audio_row(audio_id: str) -> dict:
     t = np.arange(n, dtype=np.float64) / rate
     kind_draw = rng.random()
     if kind_draw < 0.55:
+        # non-stationary chirps (linear frequency sweep + amplitude
+        # envelope): a STATIONARY tone makes the spectral fingerprint's
+        # four time segments identical — 16 effective bits — and 11k such
+        # clips collide quadratically in the near-dup join; real audio is
+        # non-stationary, so the fixture is too
         kind = "tone"
         x = np.zeros(n)
         for _ in range(int(rng.integers(1, 4))):
-            x += rng.uniform(0.08, 0.35) * np.sin(
-                2 * np.pi * rng.uniform(80.0, 3500.0) * t
-                + rng.uniform(0, 2 * np.pi)
+            f0 = rng.uniform(80.0, 3500.0)
+            f1 = f0 * rng.uniform(0.5, 2.0)
+            phase = 2 * np.pi * (f0 * t + (f1 - f0) * t * t
+                                 / (2 * max(t[-1], 1e-9)))
+            env = rng.uniform(0.4, 1.0) + rng.uniform(-0.6, 0.6) * (t / max(
+                t[-1], 1e-9))
+            x += rng.uniform(0.08, 0.35) * env * np.sin(
+                phase + rng.uniform(0, 2 * np.pi)
             )
     elif kind_draw < 0.80:
         kind = "noise"
@@ -104,6 +117,30 @@ def generate_audio_row(audio_id: str) -> dict:
         for c in range(1, channels):
             cols.append(np.roll(x, c) * rng.uniform(0.8, 1.0))
         samples = np.stack(cols, axis=1)
+    return samples, rate, dtype, kind
+
+
+def generate_audio_row(audio_id: str) -> dict:
+    """One deterministic (audio_id, bytes, kind) row.  Rows whose numeric
+    index is ``DUP_STRIDE*k + DUP_STRIDE-1`` are planted NEAR-DUPLICATES:
+    a -46 dB-noise re-encode (int16) of row ``idx - 1``'s signal — the
+    ground truth for the fingerprint near-dup bench leg."""
+    idx = int(audio_id[2:]) if audio_id[2:].isdigit() else -1
+    if idx >= 1 and idx % DUP_STRIDE == DUP_STRIDE - 1:
+        base_id = f"au{idx - 1:010d}"
+        samples, rate, _, _ = _signal(rng_for(base_id + "#wav"))
+        rng = rng_for(audio_id + "#dup")
+        noisy = np.clip(
+            samples + rng.normal(0.0, 0.005, size=samples.shape),
+            -1.0, 1.0,
+        )
+        return {
+            "audio_id": audio_id,
+            "bytes": encode_wav(_quantize(noisy, np.int16), rate),
+            "kind": "dup",
+        }
+    rng = rng_for(audio_id + "#wav")
+    samples, rate, dtype, kind = _signal(rng)
     data = encode_wav(_quantize(samples, dtype), rate)
     if rng.random() < CORRUPT_FRAC:
         kind = "corrupt"

@@ -315,3 +315,81 @@ def test_chunk_audio_bounded_flush_preserves_all_chunks(spark):
     assert len(out) == 3000
     assert sorted(out["chunk_no"]) == list(range(3000))
     assert (out["n_samples"] == 80).all()
+
+
+# --- spectral fingerprint ---------------------------------------------------
+
+
+def _tone_clip(seed: int, n: int = 32000, rate: int = 16000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for _ in range(4):
+        x += rng.uniform(0.1, 0.3) * np.sin(
+            2 * np.pi * rng.uniform(100, 3000) * t + rng.uniform(0, 6.28)
+        )
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def test_fingerprint_deterministic_and_exactly_gain_invariant():
+    from pii_redactor_spark.operators.audio import _spectral_fingerprint
+
+    x = _tone_clip(5)
+    fp1 = _spectral_fingerprint(x[:, None], 16000)
+    fp2 = _spectral_fingerprint(x[:, None], 16000)
+    assert fp1 == fp2
+    # global gain shifts every cell's log energy and the median equally:
+    # the median-relative bits are EXACTLY unchanged (float samples, so
+    # no quantization noise muddies the claim)
+    fp_half = _spectral_fingerprint((0.5 * x)[:, None], 16000)
+    assert fp_half == fp1
+
+
+def test_fingerprint_separates_noisy_copy_from_other_content():
+    from pii_redactor_spark.operators.audio import _spectral_fingerprint
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = _tone_clip(5)
+    rng = np.random.default_rng(99)
+    noisy = np.clip(
+        base + rng.normal(0, 0.01, base.shape), -1, 1
+    ).astype(np.float32)
+    fp_base = _spectral_fingerprint(base[:, None], 16000)
+    fp_noisy = _spectral_fingerprint(noisy[:, None], 16000)
+    assert ham(fp_base, fp_noisy) <= 4, ham(fp_base, fp_noisy)
+    for other_seed in (6, 7, 8):
+        fp_other = _spectral_fingerprint(
+            _tone_clip(other_seed)[:, None], 16000
+        )
+        assert ham(fp_base, fp_other) > 4, (other_seed,
+                                            ham(fp_base, fp_other))
+
+
+def test_audio_neardup_pipeline_finds_planted_pair(spark):
+    from pii_redactor_spark.operators.audio import (
+        audio_fingerprints,
+        audio_neardup_pairs,
+    )
+
+    base = _tone_clip(5)
+    rng = np.random.default_rng(42)
+    noisy = np.clip(
+        base + rng.normal(0, 0.01, base.shape), -1, 1
+    ).astype(np.float32)
+    rows = [
+        ("a", bytearray(encode_wav(base, 16000))),
+        ("a_noisy", bytearray(encode_wav(noisy, 16000))),
+        ("b", bytearray(encode_wav(_tone_clip(7), 16000))),
+        ("poison", bytearray(b"RIFFnope")),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    fps = audio_fingerprints(df).toPandas()
+    assert set(fps[~fps["ok"]]["audio_id"]) == {"poison"}
+    pairs = audio_neardup_pairs(
+        audio_fingerprints(df), max_hamming=4
+    ).toPandas()
+    assert len(pairs) == 1
+    assert {pairs.iloc[0]["id_a"], pairs.iloc[0]["id_b"]} == \
+        {"a", "a_noisy"}

@@ -66,3 +66,10 @@ def test_bench_emits_one_json_line():
     # 0.12-3 s clips at 500 ms windows => strictly more chunks than clips
     assert au["chunk_500ms"]["out_chunks"] > au["decode_stats"]["n_ok"]
     assert au["resample_16k"]["clips_per_sec"] > 0
+    # fingerprint near-dup: planted noisy re-encodes must be recovered
+    fn = au["fingerprint_neardup"]
+    assert fn["fingerprint_clips_per_sec"] > 0
+    assert fn["planted_pairs"] > 50  # ~5% of 2000, minus losses
+    assert fn["planted_recall"] >= 0.8
+    # the join must not blow up quadratically on degenerate content
+    assert fn["pairs_found"] < 2000 * 10
