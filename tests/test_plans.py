@@ -104,6 +104,7 @@ def test_relational_queries_have_no_python_nodes(spark):
                   "doc_entity_stats": 1, "embedding_ivf_cells": 1,
                   "embedding_kept_lsh_hist": 1,
                   "multimodal_joint_filter": 1,
+                  "multimodal_trimodal_filter": 1,
                   "embedding_semdedup_survivors": 2}
     oracles = entry.oracle_sql()
     for name, fn in entry.queries().items():
