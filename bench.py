@@ -677,7 +677,14 @@ def _previous_round_timings() -> dict[str, float]:
     try:
         with open(benches[-1]) as f:
             doc = json.load(f)
-        prev = doc.get("parsed", doc).get("queries", {})
+        prev = (doc.get("parsed") or doc).get("queries", {})
+        if not prev and isinstance(doc.get("tail"), str):
+            # driver artifacts sometimes carry parsed=null with a
+            # truncated "tail" string; the queries map usually survives
+            # intact inside it
+            m = re.search(r'"queries":\s*(\{[^{}]*\})', doc["tail"])
+            if m:
+                prev = json.loads(m.group(1))
     except (OSError, json.JSONDecodeError, AttributeError):
         return {}
     return {renames.get(k, k): float(v) for k, v in prev.items()}

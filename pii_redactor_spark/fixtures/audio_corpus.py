@@ -152,8 +152,18 @@ def generate_audio_row(audio_id: str) -> dict:
 def write_audio_corpus(
     spark, out_dir: str, n_rows: int, partitions: int | None = None
 ) -> None:
-    """Distributed deterministic generation (mapInPandas over a range)."""
-    parts = partitions or max(32, spark.sparkContext.defaultParallelism)
+    """Distributed deterministic generation (mapInPandas over a range).
+
+    Partition count bounds ROWS PER TASK at ~64, not tasks per core:
+    clips average ~90 KB (and the too_long band is ~4 MB each), so a
+    32-partition 20k-row generation builds ~60 MB pandas/Arrow batches
+    in 32 concurrent tasks — measured GCLocker death of the whole JVM
+    at the default 8 g local-mode heap.  64 rows/task keeps every batch
+    ~6 MB and, as a side effect, writes small parquet files that keep
+    the decode leg's columnar scan batches bounded too."""
+    parts = partitions or max(
+        spark.sparkContext.defaultParallelism, (n_rows + 63) // 64
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
