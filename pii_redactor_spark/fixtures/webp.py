@@ -73,6 +73,24 @@ class _BitReader:
         self.nbits -= n
         return val
 
+    def peek8(self) -> int:
+        """Next 8 stream bits WITHOUT consuming (bit i of the result is
+        the (i+1)-th bit to be read).  Returns -1 when fewer than 8 bits
+        remain — callers fall back to the exact bit-loop, which raises
+        the proper truncation error if the code really runs off the end."""
+        while self.nbits < 8:
+            if self.pos >= len(self.data):
+                return -1
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & 0xFF
+
+    def skip(self, n: int) -> None:
+        # only valid after a successful peek8 (bits already in acc)
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _BitWriter:
     __slots__ = ("out", "acc", "nbits")
@@ -123,11 +141,21 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+_LUT_BITS = 8
+
+
 class _Decoder:
     """Canonical prefix decoder.  ``single`` is the spec's zero-bit code:
-    exactly one symbol, decoding consumes no bits."""
+    exactly one symbol, decoding consumes no bits.
 
-    __slots__ = ("single", "table", "max_len")
+    Fast path: an 8-bit lookahead LUT resolves every symbol whose code
+    is <= 8 bits in one probe (codes here rarely exceed that — small
+    alphabets, canonical lengths), same structure as the JPEG decoder's
+    16-bit Huffman LUT.  Codes longer than 8 bits and the last <8 bits
+    of the stream fall back to the exact bit-loop, which also carries
+    the truncation error path."""
+
+    __slots__ = ("single", "table", "max_len", "lut")
 
     def __init__(self, lengths: dict[int, int]):
         used = {s: l for s, l in lengths.items() if l > 0}
@@ -137,6 +165,7 @@ class _Decoder:
             self.single = next(iter(used))
             self.table = None
             self.max_len = 0
+            self.lut = None
             return
         self.single = None
         # completeness check (Kraft sum == 1): libwebp rejects both over-
@@ -147,13 +176,34 @@ class _Decoder:
         if kraft != 1 << _MAX_CODE_LEN or max(used.values()) > _MAX_CODE_LEN:
             raise ValueError("invalid (incomplete/oversubscribed) code")
         self.table = {}
+        lut = [None] * (1 << _LUT_BITS)
         for sym, (code, ln) in _canonical_codes(used).items():
             self.table[(ln, code)] = sym
+            if ln <= _LUT_BITS:
+                # stream delivers the code MSB-first, one bit per LSB-
+                # first read: LUT index bit i is the (i+1)-th stream bit,
+                # so the code maps to its bit-reversal in the low ln bits
+                rev = 0
+                c = code
+                for _ in range(ln):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                step = 1 << ln
+                entry = (sym, ln)
+                for junk in range(rev, 1 << _LUT_BITS, step):
+                    lut[junk] = entry
+        self.lut = lut
         self.max_len = max(used.values())
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        look = br.peek8()
+        if look >= 0:
+            hit = self.lut[look]
+            if hit is not None:
+                br.skip(hit[1])
+                return hit[0]
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.read(1)
