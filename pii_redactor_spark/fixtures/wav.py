@@ -18,9 +18,14 @@ video already decode for real):
 * **Encode** emits canonical little-endian RIFF/WAVE with a single fmt
   + data pair from a (n_samples, channels) or (n_samples,) array of
   one of those dtypes.
+* **G.711 telephony companding decodes for real**: format 6 (A-law)
+  and 7 (µ-law) expand through the 256-entry ITU-T G.711 tables
+  (computed from the public definition; tests pin them bit-exact
+  against CPython's ``audioop`` reference) to int16 — the call-center /
+  telephony corpora format.
 * Every parse failure — bad magic, missing fmt/data, truncated payload,
   byte counts that contradict the declared block align, compressed
-  formats (MP3/ADPCM/µ-law report their format code) — normalizes to
+  formats (MP3/ADPCM report their format code) — normalizes to
   ``ValueError`` (compressed codecs are out of scope and refuse
   LOUDLY via ``NotImplementedError``) so poison-row guards in
   ``operators/audio.py`` treat corrupt web-scrape bytes uniformly.
@@ -41,7 +46,40 @@ import numpy as np
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_ALAW = 6
+_MULAW = 7
 _EXTENSIBLE = 0xFFFE
+
+
+def _g711_mulaw_decode_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> int16 (the public tables, computed from
+    the definition: byte is bit-inverted {sign, 3-bit exponent, 4-bit
+    mantissa}; magnitude = ((2*mantissa + 33) << exponent) - 33, scaled
+    by 4 to the 16-bit domain."""
+    codes = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = codes >> 7
+    exp = (codes >> 4) & 0x07
+    mant = codes & 0x0F
+    mag = (((2 * mant + 33) << exp) - 33) * 4
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_decode_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte -> int16: byte XOR 0x55; exponent 0 is the
+    linear segment (mag = 2*mant + 1), else mag = (2*mant + 33) << (exp -
+    1); scaled by 8 to the 16-bit domain."""
+    codes = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = codes >> 7
+    exp = (codes >> 4) & 0x07
+    mant = codes & 0x0F
+    mag = np.where(exp == 0, 2 * mant + 1,
+                   (2 * mant + 33) << np.maximum(exp - 1, 0))
+    mag = mag * 8
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_MULAW_TABLE = _g711_mulaw_decode_table()
+_ALAW_TABLE = _g711_alaw_decode_table()
 
 # dtype -> (format code, bits per sample)
 _ENCODE_FORMATS = {
@@ -122,13 +160,32 @@ def _decode_inner(data: bytes) -> tuple[np.ndarray, int]:
         if len(fmt_payload) < 26:
             raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
         (fmt_code,) = struct.unpack("<H", fmt_payload[24:26])
-    if fmt_code not in (_PCM, _IEEE_FLOAT):
+    if fmt_code not in (_PCM, _IEEE_FLOAT, _ALAW, _MULAW):
         raise NotImplementedError(
             f"WAV format code {fmt_code}: compressed audio codecs "
-            "(ADPCM/MP3/mu-law...) are out of scope in this environment"
+            "(ADPCM/MP3...) are out of scope in this environment"
         )
     if ch == 0 or rate == 0:
         raise ValueError("WAV declares zero channels or sample rate")
+    if fmt_code in (_ALAW, _MULAW):
+        # ITU-T G.711 telephony companding: 8-bit log-domain bytes ->
+        # int16 via the 256-entry tables above (validated bit-exact
+        # against CPython's audioop reference in tests)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV declares {bits}-bit samples")
+        if block_align != ch:
+            raise ValueError(
+                f"WAV block align {block_align} contradicts "
+                f"{ch} channel(s) x 1 byte"
+            )
+        n_frames, rem = divmod(len(data_payload), ch)
+        if rem or n_frames == 0:
+            raise ValueError(
+                "WAV data chunk is not a whole number of frames"
+            )
+        table = _ALAW_TABLE if fmt_code == _ALAW else _MULAW_TABLE
+        raw = np.frombuffer(data_payload, np.uint8).reshape(n_frames, ch)
+        return table[raw], rate
     if fmt_code == _IEEE_FLOAT:
         if bits != 32:
             raise NotImplementedError(f"float{bits} WAV (only float32)")

@@ -393,3 +393,70 @@ def test_audio_neardup_pipeline_finds_planted_pair(spark):
     assert len(pairs) == 1
     assert {pairs.iloc[0]["id_a"], pairs.iloc[0]["id_b"]} == \
         {"a", "a_noisy"}
+
+
+# --- G.711 telephony WAV (mu-law / A-law) -----------------------------------
+
+
+def _g711_wav(fmt_code: int, payload: bytes, ch: int = 1,
+              rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ch, ch, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_tables_match_cpython_reference():
+    """Both 256-entry G.711 expansion tables are bit-exact against
+    CPython's audioop (the long-standing reference implementation)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from pii_redactor_spark.fixtures.wav import _ALAW_TABLE, _MULAW_TABLE
+
+    allb = bytes(range(256))
+    assert (np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2")
+            == _MULAW_TABLE).all()
+    assert (np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
+            == _ALAW_TABLE).all()
+
+
+@pytest.mark.parametrize("fmt_code,name", [(7, "mulaw"), (6, "alaw")])
+def test_g711_wav_decodes_to_int16(fmt_code, name):
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(17)
+    pcm = (rng.normal(0, 0.3, 4000).clip(-1, 1) * 32767).astype("<i2")
+    conv = audioop.lin2ulaw if name == "mulaw" else audioop.lin2alaw
+    payload = conv(pcm.tobytes(), 2)
+    dec, rate = decode_wav(_g711_wav(fmt_code, payload))
+    assert rate == 8000 and dec.dtype == np.int16
+    assert dec.shape == (4000, 1)
+    # companding is lossy but bounded: worst-case segment step
+    err = np.abs(dec[:, 0].astype(np.int32) - pcm.astype(np.int32))
+    assert err.max() <= 1024, err.max()
+    # and re-expanding OUR way matches audioop's expansion bit-exactly
+    back = audioop.ulaw2lin(payload, 2) if name == "mulaw" else \
+        audioop.alaw2lin(payload, 2)
+    assert (dec[:, 0] == np.frombuffer(back, "<i2")).all()
+
+
+def test_g711_stereo_and_guards():
+    payload = bytes(range(64)) * 2
+    dec, _ = decode_wav(_g711_wav(7, payload, ch=2))
+    assert dec.shape == (64, 2)
+    with pytest.raises(ValueError):
+        decode_wav(_g711_wav(7, payload[:-1], ch=2))  # ragged frames
+    bad = _g711_wav(7, payload)
+    # declare 16-bit G.711: contradiction must refuse
+    idx = bad.index(b"fmt ") + 8 + 14
+    bad = bad[:idx] + struct.pack("<H", 16) + bad[idx + 2:]
+    with pytest.raises(ValueError):
+        decode_wav(bad)
