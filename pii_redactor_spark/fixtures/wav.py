@@ -81,6 +81,52 @@ def _g711_alaw_decode_table() -> np.ndarray:
 _MULAW_TABLE = _g711_mulaw_decode_table()
 _ALAW_TABLE = _g711_alaw_decode_table()
 
+
+def _g711_encode(pcm: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """int16 -> companded byte via nearest-expansion search against the
+    256-entry decode table (vectorized; exactly inverts the decode for
+    every representable level and picks the nearest level otherwise,
+    matching the reference coder's quantization to within the shared
+    segment step)."""
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int32)
+    x = pcm.astype(np.int32)
+    idx = np.searchsorted(levels, x)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    lo = levels[idx - 1]
+    hi = levels[idx]
+    pick = np.where(np.abs(x - lo) <= np.abs(x - hi), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                    law: str = "mulaw") -> bytes:
+    """Encode int16 samples as a G.711 (format 7 mu-law / 6 A-law) WAV."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.dtype != np.int16 or arr.ndim != 2 or arr.shape[0] == 0:
+        raise ValueError("G.711 encode expects (n[, ch]) int16 samples")
+    if sample_rate <= 0:
+        raise ValueError(f"bad sample rate {sample_rate}")
+    if law == "mulaw":
+        fmt_code, table = _MULAW, _MULAW_TABLE
+    elif law == "alaw":
+        fmt_code, table = _ALAW, _ALAW_TABLE
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    data = _g711_encode(arr, table).tobytes()
+    n, ch = arr.shape
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate,
+                      sample_rate * ch, ch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
 # dtype -> (format code, bits per sample)
 _ENCODE_FORMATS = {
     np.dtype(np.uint8): (_PCM, 8),

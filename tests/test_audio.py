@@ -460,3 +460,38 @@ def test_g711_stereo_and_guards():
     bad = bad[:idx] + struct.pack("<H", 16) + bad[idx + 2:]
     with pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_g711_encoder_round_trip_and_reference_agreement():
+    """encode_wav_g711: idempotent on representable levels, bounded
+    round-trip error, and near-total byte agreement with audioop's coder
+    (disagreements are nearest-level vs segment-threshold choices at
+    exact quantization boundaries — expansions differ by at most one
+    segment step)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from pii_redactor_spark.fixtures.wav import encode_wav_g711
+
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-32768, 32768, 50000).astype(np.int16)
+    for law, lin2 in (("mulaw", audioop.lin2ulaw), ("alaw",
+                                                    audioop.lin2alaw)):
+        dec, rate = decode_wav(encode_wav_g711(pcm, 8000, law))
+        assert rate == 8000
+        err = np.abs(dec[:, 0].astype(int) - pcm.astype(int))
+        assert err.max() <= 1024, (law, err.max())
+        dec2, _ = decode_wav(encode_wav_g711(dec[:, 0], 8000, law))
+        assert (dec2 == dec).all(), law
+        ref = np.frombuffer(lin2(pcm.tobytes(), 2), np.uint8)
+        payload = encode_wav_g711(pcm, 8000, law)
+        ours = payload[payload.index(b"data") + 8:
+                       payload.index(b"data") + 8 + 50000]
+        agree = (np.frombuffer(ours, np.uint8) == ref).mean()
+        assert agree > 0.97, (law, agree)
+    with pytest.raises(ValueError):
+        encode_wav_g711(pcm.astype(np.int32), 8000)
+    with pytest.raises(ValueError):
+        encode_wav_g711(pcm, 8000, law="dpcm")
