@@ -2092,6 +2092,97 @@ def q_multimodal_trimodal_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nation_pair_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between every CROSS-
+    nation (supplier nation, customer nation) pair per ship year,
+    1996-1997.  Both nation lookups ride broadcast dimension joins
+    (supplier and customer sides pre-joined to nation, then broadcast);
+    the only real shuffle is lineitem<->orders on orderkey, and the
+    final aggregate is a few hundred (pair, year) groups."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf, "nation")
+    supp_nation = F.broadcast(
+        _t(spark, sf, "supplier")
+        .join(
+            nation.select(F.col("n_nationkey").alias("sn_key"),
+                          F.col("n_name").alias("supp_nation")),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_nation = F.broadcast(
+        _t(spark, sf, "customer")
+        .join(
+            nation.select(F.col("n_nationkey").alias("cn_key"),
+                          F.col("n_name").alias("cust_nation")),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_supplier_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: the reduced schema
+    has no partsupp/supplycost, so profit is discounted revenue) over
+    parts whose name contains 'bolt', grouped by supplier nation and
+    order year.  The name filter pushes to the part scan before its
+    broadcast; lineitem<->orders is the one large join."""
+    part = F.broadcast(
+        _t(spark, sf, "part")
+        .where(F.col("p_name").contains("bolt"))
+        .select("p_partkey")
+    )
+    nation = _t(spark, sf, "nation")
+    supp_nation = F.broadcast(
+        _t(spark, sf, "supplier")
+        .join(
+            nation.select(F.col("n_nationkey").alias("sn_key"),
+                          F.col("n_name").alias("supp_nation")),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global aggregate — the query whose
     entire cost is scan efficiency.  Every predicate (date range,
@@ -2653,6 +2744,8 @@ def _QUERIES_OLDEST_FIRST() -> dict[
         "audio_quality_flags": q_audio_quality_flags,
         "audio_corpus_stats": q_audio_corpus_stats,
         "multimodal_trimodal_filter": q_multimodal_trimodal_filter,
+        "nation_pair_volume": q_nation_pair_volume,
+        "supplier_nation_profit": q_supplier_nation_profit,
     }
 
 
@@ -3913,5 +4006,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ON s.doc_id = m.image_id
             JOIN am ON s.doc_id = am.audio_id
             GROUP BY 1, 2, 3
+        """,
+        "nation_pair_volume": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE l.l_shipdate >= '1996-01-01'
+              AND l.l_shipdate < '1998-01-01'
+              AND ns.n_name != nc.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "supplier_nation_profit": """
+            SELECT ns.n_name AS supp_nation,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS profit,
+                   COUNT(*) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%bolt%'
+            GROUP BY 1, 2
         """,
     }
