@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 
 from .captions import rng_for
-from .wav import encode_wav, encode_wav_g711
+from .wav import encode_wav, encode_wav_adpcm, encode_wav_g711
 
 _RATES = (16_000, 16_000, 22_050, 44_100, 48_000, 8_000)
 _DTYPES = (np.int16, np.int16, np.int16, np.int16, np.int16,
@@ -141,13 +141,19 @@ def generate_audio_row(audio_id: str) -> dict:
         }
     rng = rng_for(audio_id + "#wav")
     samples, rate, dtype, kind = _signal(rng)
-    if rng.random() < 0.10:
+    container = rng.random()
+    if container < 0.10:
         # 10% telephony band: G.711 companded containers (format 6/7),
         # so the mu-law/A-law expansion tables are inside the measured
         # decode path — and their planted dups cross CODECS (int16 dup
         # of a companded base), the realistic re-encode scenario
         law = "mulaw" if rng.random() < 0.5 else "alaw"
         data = encode_wav_g711(_quantize(samples, np.int16), rate, law)
+    elif container < 0.15:
+        # 5% IMA ADPCM band (format 0x11): the sequential per-sample
+        # expansion loop is the slowest decode path — keeping it inside
+        # the measured corpus makes the leg's throughput honest
+        data = encode_wav_adpcm(_quantize(samples, np.int16), rate)
     else:
         data = encode_wav(_quantize(samples, dtype), rate)
     if rng.random() < CORRUPT_FRAC:

@@ -22,7 +22,14 @@ video already decode for real):
   and 7 (µ-law) expand through the 256-entry ITU-T G.711 tables
   (computed from the public definition; tests pin them bit-exact
   against CPython's ``audioop`` reference) to int16 — the call-center /
-  telephony corpora format.
+  telephony corpora format — and a vectorized nearest-level encoder
+  round-trips them.
+* **IMA/DVI ADPCM (format 0x11) decodes for real**: per-block headers
+  (predictor + step index), channel-interleaved 4-byte nibble words,
+  the standard step/index tables — the expansion recursion is pinned
+  bit-exact against ``audioop``'s DVI coder.  The per-sample loop is
+  sequential by construction (predictor recursion); honest Python
+  speed, like the entropy-coded image codecs.
 * Every parse failure — bad magic, missing fmt/data, truncated payload,
   byte counts that contradict the declared block align, compressed
   formats (MP3/ADPCM report their format code) — normalizes to
@@ -48,7 +55,171 @@ _PCM = 1
 _IEEE_FLOAT = 3
 _ALAW = 6
 _MULAW = 7
+_IMA_ADPCM = 0x11
 _EXTENSIBLE = 0xFFFE
+
+# IMA/DVI ADPCM tables (public spec; the step function is pinned
+# bit-exact against CPython's audioop DVI coder in tests — audioop packs
+# the first nibble HIGH, WAV blocks pack it LOW, same arithmetic)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, idx: int) -> list[int]:
+    """Sequential IMA ADPCM expansion (the predictor recursion cannot be
+    vectorized); plain-int locals keep the loop at the interpreter floor."""
+    out = []
+    step_t, idx_t = _IMA_STEP, _IMA_INDEX
+    append = out.append
+    for nb in nibbles:
+        step = step_t[idx]
+        diff = step >> 3
+        if nb & 1:
+            diff += step >> 2
+        if nb & 2:
+            diff += step >> 1
+        if nb & 4:
+            diff += step
+        pred = pred - diff if nb & 8 else pred + diff
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        idx += idx_t[nb & 7]
+        if idx < 0:
+            idx = 0
+        elif idx > 88:
+            idx = 88
+        append(pred)
+    return out
+
+
+def _decode_ima_adpcm(
+    data_payload: bytes, ch: int, block_align: int
+) -> np.ndarray:
+    """WAV IMA ADPCM blocks -> (n, ch) int16: per block and channel a
+    4-byte header (int16 predictor emitted as the first sample, step
+    index, reserved), then nibble words interleaved 4 bytes per channel,
+    LOW nibble first."""
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(
+            f"IMA ADPCM block align {block_align} invalid for {ch} ch"
+        )
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    pos = 0
+    n = len(data_payload)
+    while pos < n:
+        block = data_payload[pos:pos + block_align]
+        if len(block) < 4 * ch:
+            raise ValueError("truncated IMA ADPCM block header")
+        preds, idxs = [], []
+        for c in range(ch):
+            pred, idx, _res = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} > 88")
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)
+        body = block[4 * ch:]
+        if len(body) % (4 * ch):
+            raise ValueError("IMA ADPCM block data is not whole words")
+        for c in range(ch):
+            nibbles = []
+            for w in range(len(body) // (4 * ch)):
+                for b in body[(w * ch + c) * 4:(w * ch + c) * 4 + 4]:
+                    nibbles.append(b & 0x0F)
+                    nibbles.append(b >> 4)
+            chans[c].extend(
+                _ima_decode_nibbles(nibbles, preds[c], idxs[c])
+            )
+        pos += block_align
+    return np.array(chans, dtype=np.int16).T
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     samples_per_block: int = 505) -> bytes:
+    """Encode int16 samples as a WAV IMA ADPCM (format 0x11) stream —
+    standard greedy quantizer against the same tables the decoder uses."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.dtype != np.int16 or arr.ndim != 2 or arr.shape[0] == 0:
+        raise ValueError("ADPCM encode expects (n[, ch]) int16 samples")
+    if sample_rate <= 0:
+        raise ValueError(f"bad sample rate {sample_rate}")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 8k + 1")
+    n, ch = arr.shape
+    block_align = 4 * ch + (samples_per_block - 1) // 2 * ch
+    out = bytearray()
+    idxs = [0] * ch
+    for lo in range(0, n, samples_per_block):
+        blk = arr[lo:lo + samples_per_block]
+        if blk.shape[0] < samples_per_block:  # zero-pad the final block
+            pad = np.zeros(
+                (samples_per_block - blk.shape[0], ch), np.int16
+            )
+            blk = np.vstack([blk, pad])
+        nib_by_ch = []
+        for c in range(ch):
+            pred = int(blk[0, c])
+            idx = idxs[c]
+            out += struct.pack("<hBB", pred, idx, 0)
+            nibs = []
+            for s in blk[1:, c]:
+                step = _IMA_STEP[idx]
+                diff = int(s) - pred
+                nb = 8 if diff < 0 else 0
+                if diff < 0:
+                    diff = -diff
+                if diff >= step:
+                    nb |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nb |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nb |= 1
+                # reconstruct exactly as the decoder will
+                step2 = _IMA_STEP[idx]
+                d2 = step2 >> 3
+                if nb & 1:
+                    d2 += step2 >> 2
+                if nb & 2:
+                    d2 += step2 >> 1
+                if nb & 4:
+                    d2 += step2
+                pred = pred - d2 if nb & 8 else pred + d2
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX[nb & 7]))
+                nibs.append(nb)
+            idxs[c] = idx
+            nib_by_ch.append(nibs)
+        for w in range((samples_per_block - 1) // 8):
+            for c in range(ch):
+                chunk = nib_by_ch[c][w * 8:w * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(chunk[k] | (chunk[k + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", _IMA_ADPCM, ch, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4,
+        2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+        + (b"\x00" if len(out) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _g711_mulaw_decode_table() -> np.ndarray:
@@ -206,13 +377,17 @@ def _decode_inner(data: bytes) -> tuple[np.ndarray, int]:
         if len(fmt_payload) < 26:
             raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
         (fmt_code,) = struct.unpack("<H", fmt_payload[24:26])
-    if fmt_code not in (_PCM, _IEEE_FLOAT, _ALAW, _MULAW):
+    if fmt_code not in (_PCM, _IEEE_FLOAT, _ALAW, _MULAW, _IMA_ADPCM):
         raise NotImplementedError(
             f"WAV format code {fmt_code}: compressed audio codecs "
-            "(ADPCM/MP3...) are out of scope in this environment"
+            "(MS-ADPCM/MP3...) are out of scope in this environment"
         )
     if ch == 0 or rate == 0:
         raise ValueError("WAV declares zero channels or sample rate")
+    if fmt_code == _IMA_ADPCM:
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM declares {bits}-bit samples")
+        return _decode_ima_adpcm(data_payload, ch, block_align), rate
     if fmt_code in (_ALAW, _MULAW):
         # ITU-T G.711 telephony companding: 8-bit log-domain bytes ->
         # int16 via the 256-entry tables above (validated bit-exact

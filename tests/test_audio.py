@@ -495,3 +495,65 @@ def test_g711_encoder_round_trip_and_reference_agreement():
         encode_wav_g711(pcm.astype(np.int32), 8000)
     with pytest.raises(ValueError):
         encode_wav_g711(pcm, 8000, law="dpcm")
+
+
+def test_ima_adpcm_step_function_matches_audioop():
+    """The IMA expansion recursion is bit-exact against CPython's
+    audioop DVI coder (audioop packs first-nibble-HIGH; WAV blocks pack
+    LOW — same arithmetic, verified here on a 2000-sample stream)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from pii_redactor_spark.fixtures.wav import _ima_decode_nibbles
+
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-20000, 20000, 2000).astype("<i2")
+    packed, _ = audioop.lin2adpcm(pcm.tobytes(), 2, None)
+    ref = np.frombuffer(audioop.adpcm2lin(packed, 2, None)[0], "<i2")
+    nibs = []
+    for b in packed:
+        nibs += [b >> 4, b & 0xF]
+    assert (np.array(_ima_decode_nibbles(nibs, 0, 0)) == ref).all()
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_ima_adpcm_wav_round_trip_bounded(ch):
+    """encode_wav_adpcm -> decode_wav: 4-bit ADPCM is lossy with a
+    cold-start adaptation transient (the step size ramps from 7), so the
+    bound is split: steady state (past sample 100) stays within ~3% of
+    full scale and ~-40 dB RMS; the transient may overshoot."""
+    from pii_redactor_spark.fixtures.wav import encode_wav_adpcm
+
+    t = np.arange(16000) / 16000
+    pcm = ((0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 1333 * t)) * 32767).astype(np.int16)
+    x = pcm if ch == 1 else np.stack([pcm, np.roll(pcm, 3)], axis=1)
+    dec, rate = decode_wav(encode_wav_adpcm(x, 16000))
+    assert rate == 16000 and dec.dtype == np.int16 and dec.shape[1] == ch
+    ref = (x if ch > 1 else x[:, None])[:16000].astype(int)
+    err = np.abs(dec[:16000].astype(int) - ref)
+    assert err[100:].max() <= 1500, err[100:].max()
+    assert np.sqrt((err[100:] ** 2).mean()) < 600
+    # blocks zero-pad the tail: length rounds UP to whole blocks
+    assert dec.shape[0] >= 16000
+
+
+def test_ima_adpcm_guards():
+    from pii_redactor_spark.fixtures.wav import encode_wav_adpcm
+
+    pcm = np.zeros(1000, np.int16)
+    wav = encode_wav_adpcm(pcm, 8000)
+    with pytest.raises(ValueError):
+        decode_wav(wav[:60] + wav[64:])  # mangled block structure
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(pcm.astype(np.float32), 8000)
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(pcm, 8000, samples_per_block=100)  # not 8k+1
+    # step index > 88 in a block header must refuse
+    bad = bytearray(wav)
+    di = bad.index(b"data") + 8
+    bad[di + 2] = 120
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
