@@ -31,14 +31,14 @@ video already decode for real):
   sequential by construction (predictor recursion); honest Python
   speed, like the entropy-coded image codecs.
 * Every parse failure — bad magic, missing fmt/data, truncated payload,
-  byte counts that contradict the declared block align, compressed
-  formats (MP3/ADPCM report their format code) — normalizes to
-  ``ValueError`` (compressed codecs are out of scope and refuse
-  LOUDLY via ``NotImplementedError``) so poison-row guards in
+  byte counts that contradict the declared block align, mangled ADPCM
+  blocks, remaining compressed formats (MS-ADPCM/MP3 report their
+  format code) — normalizes to ``ValueError`` (out-of-scope codecs
+  refuse LOUDLY via ``NotImplementedError``) so poison-row guards in
   ``operators/audio.py`` treat corrupt web-scrape bytes uniformly.
 
-Raw-sample slicing is NumPy-vectorized (no entropy coding), so like
-``fixtures/y4m.py`` this has no per-symbol Python floor.
+Raw-sample slicing and the G.711 tables are NumPy-vectorized; only the
+IMA ADPCM predictor recursion pays a per-sample Python loop.
 
 Reference parity note: the reference repo (a-agmon/pii-redactor) is
 text-only; this module serves the north rule's multimodal axis (typed
