@@ -520,7 +520,27 @@ def _audio_scale_bench(spark) -> dict | None:
             spark, f"/root/repo/.cache/audio_fx_{rows}", rows
         )
         clips = spark.read.parquet(path).select("audio_id", "bytes")
-        out: dict = {"n_clips": rows}
+        # composition pin (same self-description contract as image_decode:
+        # cross-round numbers change meaning when the codec mix changes) —
+        # measured, not the generator's expectations
+        comp = {
+            r["c"]: r["n"]
+            for r in clips.groupBy(
+                F.substring("bytes", 1, 4).cast("string").alias("c")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        out: dict = {
+            "n_clips": rows,
+            "composition": {
+                "wav_frac": round(comp.get("RIFF", 0) / rows, 4),
+                "flac_frac": round(comp.get("fLaC", 0) / rows, 4),
+                "other_frac": round(
+                    (rows - comp.get("RIFF", 0) - comp.get("fLaC", 0))
+                    / rows, 4,
+                ),
+                "codec": "wav.py(pcm+g711+adpcm)+flac.py",
+            },
+        }
 
         # warm the Python workers so the timing is steady-state
         force(audio_stats(clips.limit(256)))

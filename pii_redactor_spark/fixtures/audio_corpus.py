@@ -20,7 +20,8 @@ Design goals, same as those modules:
   writes never validate.
 
 Row mix (per-row independent draws; fractions are expectations):
-70% int16, 10% uint8, 10% int32, 10% float32 containers; 70% mono /
+containers 10% G.711 (mu/A-law), 5% IMA ADPCM, 10% FLAC, remainder PCM
+WAV (70% int16, 10% uint8, 10% int32, 10% float32); 70% mono /
 25% stereo / 5% 3-channel; rate wheel (16k ×2, 22.05k, 44.1k, 48k, 8k);
 signal kinds tone/noise/clipped/silence at 55/25/10/10; durations
 log-uniform 0.12-3.0 s (plus a 0.5% over-4-minute band encoded at 8 kHz
@@ -37,6 +38,7 @@ import numpy as np
 import pandas as pd
 
 from .captions import rng_for
+from .flac import encode_flac
 from .wav import encode_wav, encode_wav_adpcm, encode_wav_g711
 
 _RATES = (16_000, 16_000, 22_050, 44_100, 48_000, 8_000)
@@ -154,6 +156,13 @@ def generate_audio_row(audio_id: str) -> dict:
         # expansion loop is the slowest decode path — keeping it inside
         # the measured corpus makes the leg's throughput honest
         data = encode_wav_adpcm(_quantize(samples, np.int16), rate)
+    elif container < 0.25 and samples.shape[0] <= 240 * rate:
+        # 10% FLAC band: the dominant lossless container in web audio
+        # crawls; Rice/LPC decode is a measured slow path like ADPCM.
+        # Lossless => planted dups of a FLAC base cross codecs with
+        # byte-identical PCM.  The >240 s too_long rows stay WAV (a
+        # 250 s clip costs ~18 s of LPC search to encode).
+        data = encode_flac(_quantize(samples, np.int16), rate)
     else:
         data = encode_wav(_quantize(samples, dtype), rate)
     if rng.random() < CORRUPT_FRAC:
@@ -200,7 +209,7 @@ def corpus_fingerprint() -> str:
     h = hashlib.sha256()
     here = os.path.dirname(os.path.abspath(__file__))
     read_any = False
-    for fname in ("audio_corpus.py", "wav.py"):
+    for fname in ("audio_corpus.py", "wav.py", "flac.py"):
         try:
             with open(os.path.join(here, fname), "rb") as f:
                 h.update(f.read())

@@ -42,10 +42,32 @@ CHUNK_SCHEMA = (
 _SILENT_CENTI_DB = -9600  # digital-silence floor (< 16-bit LSB)
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Container-sniffing decode: RIFF/WAVE -> ``fixtures.wav``,
+    fLaC -> ``fixtures.flac``.  Same contract both ways — ((n, ch) int
+    array, rate), every parse failure a ``ValueError`` — so the
+    operators below stay container-agnostic the way ``decode_image``
+    dispatches on ``fmt`` for the image axis.  Unknown magic raises
+    ``NotImplementedError`` (env-honest refusal, caught by the same
+    poison-row guards)."""
+    head = bytes(data[:4])
+    if head == b"RIFF":
+        from ..fixtures.wav import decode_wav
+        return decode_wav(data)
+    if head == b"fLaC":
+        from ..fixtures.flac import decode_flac
+        return decode_flac(data)
+    raise NotImplementedError(
+        f"unrecognized audio container magic {head!r} (WAV/FLAC supported)"
+    )
+
+
 def _to_float(arr: np.ndarray) -> np.ndarray:
     """Container samples -> float64 in [-1, 1] (full-scale = 1.0)."""
     if arr.dtype == np.uint8:
         return (arr.astype(np.float64) - 128.0) / 128.0
+    if arr.dtype == np.int8:  # FLAC 8-bit is signed (WAV 8-bit is unsigned)
+        return arr.astype(np.float64) / 128.0
     if arr.dtype == np.int16:
         return arr.astype(np.float64) / 32768.0
     if arr.dtype == np.int32:
@@ -83,14 +105,12 @@ def audio_stats(df: DataFrame) -> DataFrame:
     survive as ok=false with NULL metrics (poison-row guard, same
     contract as ``vision.decode_stats``).  Input: (audio_id, bytes).
     """
-    from ..fixtures.wav import decode_wav
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 try:
-                    samples, rate = decode_wav(bytes(data))
+                    samples, rate = decode_audio(bytes(data))
                     out.append((aid, True, *_measure(samples, rate)))
                 except (ValueError, NotImplementedError):
                     out.append((aid, False) + (None,) * 8)
@@ -244,14 +264,12 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
     ``audio_stats``) — the audio analog of the image phash column.
     Corrupt rows survive as ok=false with a NULL fingerprint.  Input:
     (audio_id, bytes)."""
-    from ..fixtures.wav import decode_wav
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 try:
-                    samples, rate = decode_wav(bytes(data))
+                    samples, rate = decode_audio(bytes(data))
                     out.append(
                         (aid, True, _spectral_fingerprint(samples, rate))
                     )
@@ -293,7 +311,7 @@ def chunk_audio(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
     (audio_id, bytes); corrupt rows are dropped here — run
     ``audio_stats`` first if they must be accounted.
     """
-    from ..fixtures.wav import decode_wav, encode_wav
+    from ..fixtures.wav import encode_wav
 
     if chunk_ms <= 0:
         raise ValueError(f"chunk_ms must be positive, got {chunk_ms}")
@@ -311,7 +329,7 @@ def chunk_audio(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
         for pdf in batches:
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 try:
-                    samples, rate = decode_wav(bytes(data))
+                    samples, rate = decode_audio(bytes(data))
                 except (ValueError, NotImplementedError):
                     continue
                 step = max(1, rate * chunk_ms // 1000)
@@ -337,7 +355,7 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
     hidden behind a fake windowed-sinc.  Input: (audio_id, bytes);
     output replaces bytes with the resampled WAV.
     """
-    from ..fixtures.wav import decode_wav, encode_wav
+    from ..fixtures.wav import encode_wav
 
     if target_rate <= 0:
         raise ValueError(f"bad target rate {target_rate}")
@@ -347,7 +365,7 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
             out = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 try:
-                    samples, rate = decode_wav(bytes(data))
+                    samples, rate = decode_audio(bytes(data))
                 except (ValueError, NotImplementedError):
                     continue
                 x = _to_float(samples)

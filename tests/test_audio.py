@@ -251,20 +251,27 @@ def test_audio_corpus_row_deterministic_and_typed():
     from collections import Counter
 
     from pii_redactor_spark.fixtures.audio_corpus import generate_audio_row
+    from pii_redactor_spark.operators.audio import decode_audio
 
     a = generate_audio_row("au0000000007")
     b = generate_audio_row("au0000000007")
     assert a["bytes"] == b["bytes"] and a["kind"] == b["kind"]
     kinds = Counter()
+    containers = Counter()
     for i in range(400):
         row = generate_audio_row(f"au{i:010d}")
         kinds[row["kind"]] += 1
         if row["kind"] == "corrupt":
             with pytest.raises((ValueError, NotImplementedError)):
-                decode_wav(row["bytes"])
+                decode_audio(row["bytes"])
         else:
-            samples, rate = decode_wav(row["bytes"])
+            containers[bytes(row["bytes"][:4])] += 1
+            samples, rate = decode_audio(row["bytes"])
             assert samples.shape[0] >= 1 and rate >= 8000
+    # every signal kind present at its rough expectation; both container
+    # families planted (10% FLAC band => >10 of 400 w.h.p.)
+    assert containers[b"fLaC"] > 10, containers
+    assert containers[b"RIFF"] > 250, containers
     # every signal kind present at its rough expectation (55/25/10/10 ±)
     for kind in ("tone", "noise", "clipped", "silence"):
         assert kinds[kind] > 10, kinds
