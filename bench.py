@@ -563,6 +563,28 @@ def _audio_scale_bench(spark) -> dict | None:
             "total_audio_sec": round(audio_s, 1),
         }
 
+        # --- FLAC-only split (same honesty contract as jpeg_only on the
+        # image leg: the compressed-codec slice is the slow path, and the
+        # mixed number changes meaning when the mix changes) ------------
+        n_flac = int(comp.get("fLaC", 0))
+        if n_flac:
+            flac_clips = clips.filter(
+                F.substring("bytes", 1, 4) == F.lit(b"fLaC")
+            )
+            t0 = time.perf_counter()
+            fagg = audio_stats(flac_clips).agg(
+                F.sum("duration_ms").alias("total_ms")
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            out["decode_stats"]["flac_only"] = {
+                "n_clips": n_flac,
+                "sec": round(dt, 3),
+                "clips_per_sec": round(n_flac / dt, 1),
+                "audio_sec_per_sec": round(
+                    (fagg["total_ms"] or 0) / 1000.0 / dt, 1
+                ),
+            }
+
         # --- metadata-only gate: rides the SAME decode pass (cheap agg
         # on top), so its marginal cost is what the plan claims: ~zero --
         t0 = time.perf_counter()

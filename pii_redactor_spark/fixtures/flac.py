@@ -40,7 +40,12 @@ predictor math is NumPy-vectorized (fixed-predictor reconstruction is o
 cumulative sums, Rice k=0 partitions and escaped partitions decode as
 single array ops), but Rice symbols with k>0 and the LPC recurrence pay
 a per-sample Python loop — the interpreter floor documented in
-``fixtures/jpeg.py``.
+``fixtures/jpeg.py``.  Measured on the bench corpus (mixed rates,
+mono-3ch, local[32]): ~4 clips/s/core ≈ 4 audio-seconds decoded per
+wall-second per core; the bench block's ``decode_stats.flac_only``
+split keeps the mixed-leg number self-describing.  Like real JPEG this
+is fixture/verification duty — a documented ceiling, not a production
+decode claim.
 
 Reference parity note: the reference repo (a-agmon/pii-redactor) is
 text-only; this module serves the north rule's multimodal axis.
