@@ -2183,6 +2183,104 @@ def q_supplier_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    lost the most revenue to returned lineitems ('R' flag) on orders
+    placed in 1996H1.  Revenue is ALL-INTEGER cent×percent arithmetic
+    (see q_cheapest_supplier_per_part: doubles summed under shuffle-
+    fetch merge order are last-ulp nondeterministic, and a top-k cut
+    line must be bit-stable across engines); the exact /10000.0 at the
+    end is the only float op.  Plan shape for scale: both filters push
+    into their scans, lineitem⋈orders is the one big shuffle, the
+    per-customer aggregate REDUCES to ≤|customer| rows BEFORE touching
+    the customer table (never join-then-aggregate a wide row), nation
+    is broadcast, and the top-20 is a TakeOrdered (per-partition heaps,
+    no global sort).  Ties break on c_custkey."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = (
+        _t(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("_rc"),
+            F.count("*").alias("n_returned_lines"),
+        )
+    )
+    nation = F.broadcast(
+        _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf, "customer").join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .orderBy(F.col("_rc").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("_rc") / 10000.0).alias("lost_revenue"),
+            "n_returned_lines",
+            "c_acctbal",
+        )
+    )
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose shipped
+    revenue over 1996Q1 equals the global maximum.  Revenue is integer
+    cent×percent units so the equality-with-max predicate is exact in
+    both engines (a double SUM could differ in the last ulp between
+    Spark and DuckDB — or between two Spark runs — and silently drop /
+    add a tied supplier).  Plan shape: one shuffle aggregate on
+    l_suppkey, a 1-row global max tree-reduced from the SAME aggregate
+    (Catalyst reuses the exchange), broadcast back as a single-row
+    join, then a broadcast supplier-name lookup; no window over an
+    unpartitioned frame (which would funnel every supplier through one
+    task at scale)."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        # explicit, though never-null in the data: the supplier join
+        # infers isnotnull(l_suppkey) on ITS branch only, which would
+        # break canonical plan equality and with it ReusedExchange —
+        # without this, lineitem is scanned and aggregated TWICE
+        & F.col("l_suppkey").isNotNull()
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rc")
+    )
+    top = rev.join(
+        F.broadcast(rev.groupBy().agg(F.max("_rc").alias("_m"))),
+        F.col("_rc") == F.col("_m"),
+    )
+    supp = F.broadcast(
+        _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rc") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global aggregate — the query whose
     entire cost is scan efficiency.  Every predicate (date range,
@@ -2746,6 +2844,8 @@ def _QUERIES_OLDEST_FIRST() -> dict[
         "multimodal_trimodal_filter": q_multimodal_trimodal_filter,
         "nation_pair_volume": q_nation_pair_volume,
         "supplier_nation_profit": q_supplier_nation_profit,
+        "returned_item_revenue": q_returned_item_revenue,
+        "top_revenue_supplier": q_top_revenue_supplier,
     }
 
 
@@ -4038,5 +4138,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE p.p_name LIKE '%bolt%'
             GROUP BY 1, 2
+        """,
+        "returned_item_revenue": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       -- integer cent*percent units: bit-stable top-k
+                       -- cut line across engines (see
+                       -- cheapest_supplier_per_part)
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT))) AS _rc,
+                       COUNT(*) AS n_returned_lines
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= '1996-01-01'
+                  AND o.o_orderdate < '1996-07-01'
+                GROUP BY 1
+            )
+            SELECT c_custkey, c_name, n_name,
+                   _rc / 10000.0 AS lost_revenue,
+                   n_returned_lines, c_acctbal
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY _rc DESC, c_custkey
+            LIMIT 20
+        """,
+        "top_revenue_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT))) AS _rc
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, _rc / 10000.0 AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE _rc = (SELECT MAX(_rc) FROM rev)
         """,
     }
