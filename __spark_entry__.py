@@ -2281,6 +2281,132 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification, adapted: the
+    reduced schema has no partsupp, so a part's "stock value" is its
+    shipped extendedprice from suppliers in nations 0-4): parts whose
+    value exceeds 2x the per-part average.  The threshold is expressed
+    scale-free (value * n_parts > 2 * total) and in INTEGER cents, so
+    the keep/drop cut is exact in both engines at every SF — TPC-H's
+    own 0.0001/SF fraction bakes the scale factor into the query text,
+    which a tri-scale oracle check can't do.  Plan shape: the supplier
+    filter is a broadcast semi-join (never shuffles lineitem by
+    suppkey), one shuffle aggregate on l_partkey, and the single-row
+    (total, n_parts) side REUSES that aggregate's exchange (same
+    pattern as q_top_revenue_supplier) before broadcasting back."""
+    supp = F.broadcast(
+        _t(spark, sf, "supplier")
+        .where(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf, "lineitem").where(F.col("l_partkey").isNotNull())
+    pv = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("_cents")
+        )
+    )
+    tot = F.broadcast(
+        pv.groupBy().agg(
+            F.sum("_cents").alias("_t"), F.count("*").alias("_n")
+        )
+    )
+    return (
+        pv.join(tot, F.col("_cents") * F.col("_n") > F.lit(2) * F.col("_t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("_cents") / 100.0).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship, adapted: no
+    partsupp — the part<->supplier relationship is derived from
+    lineitem; no s_comment — the "customer complaints" exclusion
+    becomes s_acctbal < 0): distinct supplier count per (brand, type,
+    size) over a size IN-list, excluding one brand and one type.  Plan
+    shape: the part filter pushes into its scan before broadcast, the
+    excluded suppliers are a broadcast ANTI join (a handful of rows),
+    and count(DISTINCT) runs as Spark's two-phase partial-distinct
+    aggregate — dedup happens map-side per (group, suppkey) before the
+    final shuffle, so hot (brand,type,size) groups never funnel raw
+    lineitems into one task."""
+    part = F.broadcast(
+        _t(spark, sf, "part")
+        .where(
+            (F.col("p_brand") != "Brand#15")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = F.broadcast(
+        _t(spark, sf, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion, adapted: no
+    partsupp.availqty — "supplier holds excess stock" becomes
+    "supplier shipped a strict majority of a part's 1996 volume"):
+    for 'widget' parts, suppliers that dominated at least one part,
+    with how many parts and the total dominated quantity.  Quantities
+    are integral in the data, so 2*q > part_total is an EXACT integer
+    majority test (no float cut line).  Plan shape: name filter pushes
+    to the part scan before broadcast, one shuffle aggregate to
+    (partkey, suppkey) rows, a window-sum over partkey on the ALREADY
+    REDUCED pairs (<= pairs rows, bounded suppliers per part — no
+    skew), then a broadcast supplier lookup; lineitem is scanned and
+    shuffled exactly once."""
+    part = F.broadcast(
+        _t(spark, sf, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pairs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominated = pairs.withColumn(
+        "_tq", F.sum("_q").over(w)
+    ).where(F.lit(2) * F.col("_q") > F.col("_tq"))
+    supp = F.broadcast(
+        _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        dominated.join(supp, dominated.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_parts_dominated"),
+            F.sum("_q").alias("dominated_qty"),
+        )
+        .orderBy(F.col("n_parts_dominated").desc(), "s_suppkey")
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global aggregate — the query whose
     entire cost is scan efficiency.  Every predicate (date range,
@@ -2846,6 +2972,9 @@ def _QUERIES_OLDEST_FIRST() -> dict[
         "supplier_nation_profit": q_supplier_nation_profit,
         "returned_item_revenue": q_returned_item_revenue,
         "top_revenue_supplier": q_top_revenue_supplier,
+        "important_part_value": q_important_part_value,
+        "supplier_count_by_part": q_supplier_count_by_part,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
     }
 
 
@@ -4179,5 +4308,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, _rc / 10000.0 AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE _rc = (SELECT MAX(_rc) FROM rev)
+        """,
+        "important_part_value": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS _cents
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE s.s_nationkey < 5
+                GROUP BY 1
+            ),
+            tot AS (
+                SELECT SUM(_cents) AS _t, COUNT(*) AS _n FROM pv
+            )
+            SELECT l_partkey AS p_partkey, _cents / 100.0 AS value
+            FROM pv, tot
+            WHERE _cents * _n > 2 * _t
+            ORDER BY value DESC, p_partkey
+        """,
+        "supplier_count_by_part": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand != 'Brand#15'
+              AND p.p_type != 'PROMO'
+              AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "dominant_part_suppliers": """
+            WITH pairs AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS _q
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_name LIKE '%widget%'
+                  AND l.l_shipdate >= '1996-01-01'
+                  AND l.l_shipdate < '1997-01-01'
+                GROUP BY 1, 2
+            ),
+            dom AS (
+                SELECT *,
+                       SUM(_q) OVER (PARTITION BY l_partkey) AS _tq
+                FROM pairs
+            )
+            SELECT s_suppkey, s_name,
+                   COUNT(*) AS n_parts_dominated,
+                   SUM(_q) AS dominated_qty
+            FROM dom
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE 2 * _q > _tq
+            GROUP BY 1, 2
+            ORDER BY n_parts_dominated DESC, s_suppkey
         """,
     }
