@@ -2362,6 +2362,83 @@ def q_supplier_count_by_part(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_source_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level filtering (the RefinedWeb/C4 move the per-document
+    gate can't make): a SOURCE is dropped when fewer than 90% of its
+    documents pass the quality slice — whole mirror/spam domains go at
+    once.  The drop cut is the exact integer test 10*n_keep < 9*n_docs
+    (never a float threshold on a ratio), and keep_rate is one double
+    division of the same two integers in both engines.  Plan shape: the
+    per-document gate is evaluated map-side inside the partial
+    aggregate, so the only shuffle carries one (source, partial counts)
+    row per source per task — at web scale that is |domains| rows, not
+    |docs|."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.withColumn("tokens", F.split("text", " "))
+    gated = toks.withColumn(
+        "_keep",
+        (F.col("n_chars") >= 50)
+        & (F.col("n_chars") <= 500)
+        & (F.size(F.array_distinct("tokens")) / F.size("tokens") >= 0.3),
+    )
+    per = gated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_keep"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        (F.col("n_keep") / F.col("n_docs")).alias("keep_rate"),
+        (F.lit(10) * F.col("n_keep") < F.lit(9) * F.col("n_docs")).alias(
+            "dropped"
+        ),
+    )
+
+
+def q_source_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source content overlap (mirror-site / syndication
+    detection): source pairs sharing identical 40-char document
+    prefixes, counted per pair.  The fingerprint join is df-CAPPED —
+    prefixes seen in more than 16 distinct sources (universal
+    boilerplate) are dropped before the self-join, so per-key fan-out
+    is bounded at 16*15/2 pairs no matter how viral a prefix gets at
+    web scale (same discipline as the inverted-index dedup operators).
+    Plan shape: one distinct on (fp, source), the df filter REUSES that
+    aggregate's exchange, and the self-join is equi on fp with the
+    source ordering as a hash-join residual — never a nested loop."""
+    docs = _t(spark, sf, "documents")
+    fs = (
+        docs.where(F.length("text") >= 40)
+        .select(
+            F.md5(F.substring("text", 1, 40)).alias("fp"),
+            "source",
+        )
+        .distinct()
+    )
+    df_ok = (
+        fs.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= 16)
+        .select("fp")
+    )
+    capped = fs.join(df_ok, "fp", "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def q_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion, adapted: no
     partsupp.availqty — "supplier holds excess stock" becomes
@@ -2975,6 +3052,8 @@ def _QUERIES_OLDEST_FIRST() -> dict[
         "important_part_value": q_important_part_value,
         "supplier_count_by_part": q_supplier_count_by_part,
         "dominant_part_suppliers": q_dominant_part_suppliers,
+        "source_domain_filter": q_source_domain_filter,
+        "source_overlap_pairs": q_source_overlap_pairs,
     }
 
 
@@ -4365,5 +4444,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE 2 * _q > _tq
             GROUP BY 1, 2
             ORDER BY n_parts_dominated DESC, s_suppkey
+        """,
+        "source_domain_filter": """
+            WITH per AS (
+                SELECT source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN n_chars >= 50 AND n_chars <= 500
+                           AND LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                               * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+                FROM documents
+                GROUP BY 1
+            )
+            SELECT source, n_docs, n_keep,
+                   n_keep / n_docs AS keep_rate,
+                   10 * n_keep < 9 * n_docs AS dropped
+            FROM per
+        """,
+        "source_overlap_pairs": """
+            WITH fs AS (
+                SELECT DISTINCT MD5(SUBSTR(text, 1, 40)) AS fp, source
+                FROM documents
+                WHERE LENGTH(text) >= 40
+            ),
+            ok AS (
+                SELECT fp FROM fs GROUP BY fp HAVING COUNT(*) <= 16
+            ),
+            capped AS (
+                SELECT fs.fp, fs.source FROM fs JOIN ok USING (fp)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_shared
+            FROM capped a
+            JOIN capped b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
         """,
     }
