@@ -174,6 +174,102 @@ def _scrub_by_length_bucket(spark) -> dict[str, dict]:
     return out
 
 
+def _exif_scrub_split(spark, imgs, mix, rows) -> dict:
+    """Build (cached) an Exif-tagged variant of the image corpus and time
+    the metadata-PII scrub over it.  Tagging is deterministic from
+    image_id; the cache marker keys on exif.py source so a scrubber or
+    tag-layout change regenerates instead of timing stale bytes."""
+    import hashlib
+    import inspect
+
+    from pii_redactor_spark.fixtures import exif as exif_mod
+    from pii_redactor_spark.operators.vision import scrub_image_metadata
+
+    exif_dir = f"/root/repo/.cache/bench_img_exif_{rows}"
+    data_path = os.path.join(exif_dir, "images")
+    marker = os.path.join(exif_dir, "_GEN_DONE")
+    want = (
+        hashlib.sha256(inspect.getsource(exif_mod).encode()).hexdigest()[:16]
+        + f":{rows}"
+    )
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read().strip() == want
+    except OSError:
+        pass
+    if not fresh:
+        def tag(batches):
+            import pandas as pd
+
+            E = exif_mod
+            for pdf in batches:
+                recs = []
+                for iid, data, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]
+                ):
+                    data = bytes(data)
+                    if fmt == "jpeg":
+                        h = int(
+                            hashlib.md5(str(iid).encode()).hexdigest()[:8],
+                            16,
+                        )
+                        ifds = {
+                            "ifd0": {
+                                0x013B: E.ExifTag(
+                                    0x013B, E.TYPE_ASCII, f"artist-{h % 97}"
+                                ),
+                                E.TAG_ORIENTATION: E.ExifTag(
+                                    E.TAG_ORIENTATION, E.TYPE_SHORT,
+                                    [1 + h % 8],
+                                ),
+                            },
+                            "exif": {
+                                0xA431: E.ExifTag(
+                                    0xA431, E.TYPE_ASCII, f"SN-{h:08d}"
+                                ),
+                            },
+                            "gps": {
+                                1: E.ExifTag(1, E.TYPE_ASCII, "N"),
+                                2: E.ExifTag(
+                                    2, E.TYPE_RATIONAL,
+                                    [(h % 90, 1), (h % 60, 1), (h % 6000, 100)],
+                                ),
+                            },
+                        }
+                        data = E.insert_exif(data, ifds)
+                    recs.append((iid, data, fmt))
+                yield pd.DataFrame(
+                    recs, columns=["image_id", "bytes", "fmt"]
+                )
+
+        imgs.select("image_id", "bytes", "fmt").mapInPandas(
+            tag, "image_id string, bytes binary, fmt string"
+        ).write.mode("overwrite").parquet(data_path)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(want)
+        os.replace(tmp, marker)
+
+    tagged = spark.read.parquet(data_path)
+    force(scrub_image_metadata(tagged.limit(512)).select("image_id"))
+    t0 = time.perf_counter()
+    force(scrub_image_metadata(tagged).select("image_id"))
+    dt = time.perf_counter() - t0
+    from pyspark.sql import functions as F
+
+    gps_found = (
+        scrub_image_metadata(tagged).where(F.col("had_gps")).count()
+    )
+    return {
+        "n_images": rows,
+        "sec": round(dt, 3),
+        "images_per_sec": round(rows / dt, 1),
+        "jpeg_rows_tagged": mix.get("jpeg", 0),
+        "gps_found_and_removed": gps_found,
+    }
+
+
 def _image_decode_bench(spark) -> dict | None:
     """Pixel-path throughput — the image-axis companion to
     scrub_by_length: decode_stats (mapInPandas over the binary column,
@@ -238,6 +334,14 @@ def _image_decode_bench(spark) -> dict | None:
                 "sec": round(dt, 3),
                 "images_per_sec": round(n_sub / dt, 1),
             }
+        # --- exif-scrub split (round 5): the image-modality PII pass.
+        # An Exif-tagged variant of the SAME corpus (every JPEG row gets
+        # GPS + serial + artist tags spliced in, derived from image_id —
+        # cached, keyed on exif.py's source) is scrubbed with
+        # scrub_image_metadata.  The claim under test: metadata scrub is
+        # byte surgery, never a DCT, so its rate must sit far above
+        # jpeg_only decode on the same rows.
+        out["exif_scrub"] = _exif_scrub_split(spark, imgs, mix, rows)
         return out
     except Exception as exc:
         import traceback

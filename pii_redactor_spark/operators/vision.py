@@ -22,6 +22,10 @@ WebP, inter-frame video, hierarchical/arithmetic JPEG) raise
 plumbing (schema, batching, partition flow) is identical and fully
 tested either way.
 
+Round 5 adds the image-modality PII pass: ``scrub_image_metadata``
+strips Exif GPS / serials / owner tags / thumbnails / XMP by pure byte
+surgery (``fixtures/exif.py``) — pixels are never decoded.
+
 Reference parity note: the reference pipeline never decodes pixels (it is
 text-only); these operators exist for the north-star's image-integrity gate
 (decoded-pixel allclose / PSNR >= 40 dB) and the training-data-pipeline
@@ -152,6 +156,75 @@ def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         gen, schema=RESIZE_SCHEMA
+    )
+
+
+EXIF_SCRUB_SCHEMA = (
+    "image_id string, bytes binary, fmt string, had_exif boolean, "
+    "had_gps boolean, had_thumbnail boolean, orientation int, "
+    "removed string, flag string"
+)
+
+
+def scrub_image_metadata(
+    df: DataFrame,
+    *,
+    strip_device: bool = False,
+    strip_timestamps: bool = False,
+) -> DataFrame:
+    """Strip PII from image METADATA: GPS IFD, camera/lens serials,
+    artist/owner names, MakerNote, the IFD1 thumbnail (pre-crop privacy
+    leak), and XMP packets — the image-modality counterpart of the
+    caption scrub stage (the reference redacts the same identity
+    classes from text: /root/reference/src/inference.py:161-186).
+
+    Pure byte-stream surgery via ``fixtures/exif.py``: the entropy-coded
+    pixel data is copied verbatim, so decoded pixels are byte-identical
+    and the stage never runs a DCT — at 10^12 images this is a pure
+    scan-rewrite pass whose cost is I/O, not compute.  Non-JPEG rows
+    pass through untouched (``flag = 'not_jpeg'``: PNG/GIF/WebP carry
+    no Exif in this engine's corpus); undecodable streams keep their
+    original bytes with ``flag = 'corrupt'`` instead of killing the
+    stage.
+    """
+    from ..fixtures.exif import scrub_exif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                data = bytes(data)
+                if fmt != "jpeg":
+                    out.append((iid, data, fmt, False, False, False,
+                                1, "", "not_jpeg"))
+                    continue
+                try:
+                    clean, rep = scrub_exif(
+                        data,
+                        strip_device=strip_device,
+                        strip_timestamps=strip_timestamps,
+                    )
+                except ValueError:
+                    out.append((iid, data, fmt, None, None, None,
+                                None, None, "corrupt"))
+                    continue
+                out.append((
+                    iid, clean, fmt,
+                    rep["had_exif"], rep["had_gps"],
+                    rep["had_thumbnail"], rep["orientation"],
+                    ",".join(rep["removed"]), "ok",
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "bytes", "fmt", "had_exif",
+                         "had_gps", "had_thumbnail", "orientation",
+                         "removed", "flag"],
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=EXIF_SCRUB_SCHEMA
     )
 
 

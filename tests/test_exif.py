@@ -1,0 +1,328 @@
+"""Exif metadata: parse/build round trips, PII scrub, orientation.
+
+The image-modality PII surface (GPS, serials, owner names, MakerNote,
+IFD1 thumbnail, XMP) — the byte-stream counterpart of the caption
+scrub's entity classes.  The load-bearing invariants:
+
+* scrub never changes decoded pixels (entropy stream copied verbatim),
+* scrub is idempotent,
+* every malformed input raises ValueError and nothing else (the
+  poison-row guards catch exactly that),
+* orientation normalization transforms compose to identity with their
+  Exif inverses.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pii_redactor_spark.fixtures import exif as E
+from pii_redactor_spark.fixtures.jpeg import decode_jpeg, encode_jpeg
+
+
+def _px(h=16, w=24, seed=3):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+def _full_ifds(orientation=6):
+    return {
+        "ifd0": {
+            t.tag: t
+            for t in [
+                E.ExifTag(E.TAG_MAKE, E.TYPE_ASCII, "ExampleCam"),
+                E.ExifTag(E.TAG_MODEL, E.TYPE_ASCII, "X100"),
+                E.ExifTag(E.TAG_ORIENTATION, E.TYPE_SHORT, [orientation]),
+                E.ExifTag(0x013B, E.TYPE_ASCII, "Jane Photographer"),
+                E.ExifTag(0x8298, E.TYPE_ASCII, "(c) Jane P."),
+                E.ExifTag(0x0132, E.TYPE_ASCII, "2026:08:19 10:00:00"),
+            ]
+        },
+        "exif": {
+            0xA431: E.ExifTag(0xA431, E.TYPE_ASCII, "SN-12345"),
+            0xA435: E.ExifTag(0xA435, E.TYPE_ASCII, "LENS-9"),
+            0xA430: E.ExifTag(0xA430, E.TYPE_ASCII, "Jane"),
+            0x9003: E.ExifTag(0x9003, E.TYPE_ASCII, "2026:08:19 10:00:00"),
+            0x927C: E.ExifTag(0x927C, E.TYPE_UNDEFINED, b"\x01\x02secret"),
+            0x9286: E.ExifTag(0x9286, E.TYPE_UNDEFINED, b"ASCII\x00\x00\x00hi"),
+            0xA420: E.ExifTag(0xA420, E.TYPE_ASCII, "deadbeef"),
+        },
+        "gps": {
+            1: E.ExifTag(1, E.TYPE_ASCII, "N"),
+            2: E.ExifTag(2, E.TYPE_RATIONAL, [(40, 1), (44, 1), (3000, 100)]),
+            3: E.ExifTag(3, E.TYPE_ASCII, "E"),
+            4: E.ExifTag(4, E.TYPE_RATIONAL, [(73, 1), (59, 1), (0, 1)]),
+        },
+    }
+
+
+def _tagged_jpeg(orientation=6, quality=95):
+    jp = encode_jpeg(_px(), quality=quality)
+    return jp, E.insert_exif(jp, _full_ifds(orientation))
+
+
+# ---------------------------------------------------------------------------
+# TIFF build/parse round trips
+
+
+def test_build_parse_round_trip_all_types():
+    ifds = {
+        "ifd0": {
+            t.tag: t
+            for t in [
+                E.ExifTag(0x0100, E.TYPE_LONG, [640]),
+                E.ExifTag(0x0101, E.TYPE_SHORT, [480, 7, 9]),
+                E.ExifTag(0x010F, E.TYPE_ASCII, "abc"),
+                E.ExifTag(0x9999, E.TYPE_UNDEFINED, b"\x00\xff\x10"),
+                E.ExifTag(0x9998, E.TYPE_BYTE, b"\x05"),
+                E.ExifTag(0x9997, E.TYPE_SLONG, [-5, 6]),
+                E.ExifTag(0x9996, E.TYPE_SRATIONAL, [(-1, 3)]),
+                E.ExifTag(0x9995, E.TYPE_RATIONAL, [(1, 2), (3, 4)]),
+            ]
+        },
+        "exif": {},
+        "gps": {},
+    }
+    parsed = E.parse_tiff(E.build_tiff(ifds))
+    for tag, want in ifds["ifd0"].items():
+        assert parsed["ifd0"][tag] == want
+    assert parsed["exif"] == {} and parsed["gps"] == {}
+
+
+def test_inline_vs_offset_values():
+    # <=4 bytes inline, >4 bytes out-of-line with word padding; both must
+    # survive, including an odd-length ASCII forcing a pad byte.
+    ifds = {
+        "ifd0": {
+            1: E.ExifTag(1, E.TYPE_ASCII, "ab"),        # 3B inline
+            2: E.ExifTag(2, E.TYPE_ASCII, "abcd"),      # 5B offset, odd pad
+            3: E.ExifTag(3, E.TYPE_SHORT, [1, 2]),      # 4B inline
+            4: E.ExifTag(4, E.TYPE_SHORT, [1, 2, 3]),   # 6B offset
+        },
+        "exif": {},
+        "gps": {},
+    }
+    parsed = E.parse_tiff(E.build_tiff(ifds))
+    for tag, want in ifds["ifd0"].items():
+        assert parsed["ifd0"][tag] == want
+
+
+def test_parse_big_endian_stream():
+    # Hand-assembled MM stream: one IFD, orientation=8 (builder is
+    # canonical little-endian, so the MM path only exists in the parser).
+    ifd = struct.pack(">H", 1) + struct.pack(
+        ">HHI4s", E.TAG_ORIENTATION, E.TYPE_SHORT, 1,
+        struct.pack(">H", 8) + b"\x00\x00",
+    ) + struct.pack(">I", 0)
+    data = struct.pack(">2sHI", b"MM", 42, 8) + ifd
+    parsed = E.parse_tiff(data)
+    assert parsed["ifd0"][E.TAG_ORIENTATION].values == [8]
+
+
+def test_thumbnail_ifd1_parsed():
+    # IFD0 with next-IFD pointer to IFD1 holding an embedded "JPEG".
+    thumb = b"\xff\xd8thumbnail-bytes\xff\xd9"
+    ifd0 = struct.pack("<H", 1) + struct.pack(
+        "<HHI4s", E.TAG_ORIENTATION, E.TYPE_SHORT, 1,
+        struct.pack("<H", 1) + b"\x00\x00",
+    )
+    ifd1_off = 8 + len(ifd0) + 4
+    ifd1 = struct.pack("<H", 2)
+    thumb_off = ifd1_off + 2 + 24 + 4
+    ifd1 += struct.pack("<HHII", E.TAG_JPEG_IF, E.TYPE_LONG, 1, thumb_off)
+    ifd1 += struct.pack("<HHII", E.TAG_JPEG_IF_LEN, E.TYPE_LONG, 1,
+                        len(thumb))
+    ifd1 += struct.pack("<I", 0)
+    data = (struct.pack("<2sHI", b"II", 42, 8) + ifd0
+            + struct.pack("<I", ifd1_off) + ifd1 + thumb)
+    parsed = E.parse_tiff(data)
+    assert parsed["thumbnail"] == thumb
+
+
+# ---------------------------------------------------------------------------
+# JPEG insert / extract / scrub
+
+
+def test_insert_extract_pixels_untouched():
+    jp, jx = _tagged_jpeg()
+    parsed = E.extract_exif(jx)
+    assert parsed["ifd0"][E.TAG_MAKE].values == "ExampleCam"
+    assert parsed["gps"][2].values[0] == (40, 1)
+    assert E.orientation_of(jx) == 6
+    assert E.extract_exif(jp) is None and E.orientation_of(jp) == 1
+    assert np.array_equal(decode_jpeg(jx), decode_jpeg(jp))
+
+
+def test_scrub_removes_pii_keeps_rest():
+    jp, jx = _tagged_jpeg()
+    clean, rep = E.scrub_exif(jx)
+    assert rep["had_exif"] and rep["had_gps"]
+    assert rep["orientation"] == 6
+    for name in ("GPS", "Artist", "Copyright", "MakerNote",
+                 "UserComment", "ImageUniqueID", "CameraOwnerName",
+                 "BodySerialNumber", "LensSerialNumber"):
+        assert name in rep["removed"], name
+    parsed = E.extract_exif(clean)
+    assert not parsed["gps"]
+    assert 0xA431 not in parsed["exif"] and 0x013B not in parsed["ifd0"]
+    # non-PII survives: device, orientation, timestamps (default policy)
+    assert parsed["ifd0"][E.TAG_MAKE].values == "ExampleCam"
+    assert parsed["ifd0"][E.TAG_ORIENTATION].values == [6]
+    assert parsed["exif"][0x9003].values == "2026:08:19 10:00:00"
+    # and the pixels are byte-identical
+    assert np.array_equal(decode_jpeg(clean), decode_jpeg(jp))
+
+
+def test_scrub_policy_flags():
+    _, jx = _tagged_jpeg()
+    clean, _ = E.scrub_exif(jx, strip_device=True, strip_timestamps=True)
+    parsed = E.extract_exif(clean)
+    assert E.TAG_MAKE not in parsed["ifd0"]
+    assert 0x0132 not in parsed["ifd0"] and 0x9003 not in parsed["exif"]
+
+
+def test_scrub_idempotent():
+    _, jx = _tagged_jpeg()
+    once, _ = E.scrub_exif(jx)
+    twice, rep2 = E.scrub_exif(once)
+    assert twice == once
+    assert not rep2["had_gps"] and rep2["removed"] == []
+
+
+def test_scrub_drops_thumbnail():
+    # Splice a hand-built IFD1 (with embedded thumbnail) onto a built
+    # TIFF by rewriting IFD0's next-IFD pointer — the builder itself
+    # never emits IFD1, which is the point of the scrub contract.
+    jp = encode_jpeg(_px(), quality=95)
+    tiff = bytearray(E.build_tiff(_full_ifds()))
+    (n,) = struct.unpack_from("<H", tiff, 8)
+    next_ptr_at = 8 + 2 + 12 * n
+    thumb = b"\xff\xd8tiny\xff\xd9"
+    ifd1_off = len(tiff)
+    thumb_off = ifd1_off + 2 + 24 + 4
+    ifd1 = struct.pack("<H", 2)
+    ifd1 += struct.pack("<HHII", E.TAG_JPEG_IF, E.TYPE_LONG, 1, thumb_off)
+    ifd1 += struct.pack("<HHII", E.TAG_JPEG_IF_LEN, E.TYPE_LONG, 1,
+                        len(thumb))
+    ifd1 += struct.pack("<I", 0)
+    struct.pack_into("<I", tiff, next_ptr_at, ifd1_off)
+    tiff += ifd1 + thumb
+    payload = b"Exif\x00\x00" + bytes(tiff)
+    jx = (jp[:2]
+          + struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+          + jp[2:])
+    assert E.extract_exif(jx)["thumbnail"] == thumb
+    clean, rep = E.scrub_exif(jx)
+    assert rep["had_thumbnail"] and "Thumbnail" in rep["removed"]
+    assert E.extract_exif(clean)["thumbnail"] is None
+    assert E.extract_exif(clean)["ifd1"] == {}
+
+
+def test_scrub_drops_xmp():
+    jp = encode_jpeg(_px(), quality=95)
+    xmp = (b"http://ns.adobe.com/xap/1.0/\x00"
+           b"<x:xmpmeta><gps>40.7,-73.9</gps></x:xmpmeta>")
+    seg = struct.pack(">BBH", 0xFF, 0xE1, len(xmp) + 2) + xmp
+    jx = jp[:2] + seg + jp[2:]
+    clean, rep = E.scrub_exif(jx)
+    assert "XMP" in rep["removed"]
+    assert b"xmpmeta" not in clean
+    assert np.array_equal(decode_jpeg(clean), decode_jpeg(jp))
+    kept, rep2 = E.scrub_exif(jx, drop_xmp=False)
+    assert b"xmpmeta" in kept and "XMP" not in rep2["removed"]
+
+
+# ---------------------------------------------------------------------------
+# Poison inputs: ValueError and nothing else
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:20],                              # truncated TIFF
+        lambda b: b"XX" + b[2:],                       # bad byte order
+        lambda b: b[:2] + struct.pack("<H", 41) + b[4:],  # bad magic
+        lambda b: b[:4] + struct.pack("<I", 10**6) + b[8:],  # IFD0 OOB
+    ],
+)
+def test_parse_tiff_poison(mutate):
+    good = E.build_tiff(_full_ifds())
+    with pytest.raises(ValueError):
+        E.parse_tiff(mutate(good))
+
+
+def test_scrub_non_jpeg_raises_value_error():
+    with pytest.raises(ValueError):
+        E.scrub_exif(b"not a jpeg at all")
+
+
+def test_exif_fuzz_value_error_only():
+    # Bit-flips over the APP1 region must raise ValueError or succeed —
+    # never KeyError/struct.error/IndexError (the r4 ADVICE failure
+    # class for decode_jpeg).
+    _, jx = _tagged_jpeg()
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        buf = bytearray(jx)
+        i = int(rng.integers(2, min(len(buf), 400)))
+        buf[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            E.scrub_exif(bytes(buf))
+        except ValueError:
+            pass
+
+
+def test_normalize_orientation_inverses_and_shapes():
+    a = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    for o, inv in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 8),
+                   (7, 7), (8, 6)]:
+        once = E.normalize_orientation(a, o)
+        if o in (5, 6, 7, 8):
+            assert once.shape == (4, 2, 3)
+        back = E.normalize_orientation(once, inv)
+        assert np.array_equal(back, a), (o, inv)
+    with pytest.raises(ValueError):
+        E.normalize_orientation(a, 9)
+
+
+def test_normalize_orientation_hand_case():
+    # 2x2: [[a,b],[c,d]]; orientation 6 (stored 90 CCW) -> display
+    # rotates 90 CW: [[c,a],[d,b]]; transverse (7) flips the
+    # anti-diagonal: [[d,b],[c,a]].
+    a = np.array([[[1], [2]], [[3], [4]]], dtype=np.uint8)
+    assert E.normalize_orientation(a, 6)[:, :, 0].tolist() == [[3, 1], [4, 2]]
+    assert E.normalize_orientation(a, 7)[:, :, 0].tolist() == [[4, 2], [3, 1]]
+    assert E.normalize_orientation(a, 5)[:, :, 0].tolist() == [[1, 3], [2, 4]]
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+
+
+def test_scrub_image_metadata_spark(spark):
+    from pii_redactor_spark.operators.vision import scrub_image_metadata
+
+    jp, jx = _tagged_jpeg()
+    rows = [
+        ("with_gps", bytearray(jx), "jpeg"),
+        ("plain", bytearray(jp), "jpeg"),
+        ("png_row", bytearray(b"\x89PNG fake"), "png"),
+        ("corrupt", bytearray(b"\xff\xd8\xff"), "jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r["image_id"]: r for r in scrub_image_metadata(df).collect()}
+    assert out["with_gps"]["had_gps"] and out["with_gps"]["flag"] == "ok"
+    assert out["with_gps"]["orientation"] == 6
+    assert "GPS" in out["with_gps"]["removed"]
+    clean = bytes(out["with_gps"]["bytes"])
+    assert E.extract_exif(clean)["gps"] == {}
+    assert np.array_equal(decode_jpeg(clean), decode_jpeg(jp))
+    assert out["plain"]["flag"] == "ok" and not out["plain"]["had_exif"]
+    assert bytes(out["plain"]["bytes"]) == jp
+    assert out["png_row"]["flag"] == "not_jpeg"
+    assert out["corrupt"]["flag"] == "corrupt"
+    assert bytes(out["corrupt"]["bytes"]) == b"\xff\xd8\xff"
