@@ -303,3 +303,39 @@ def test_round4_tpch_shapes_are_hash_joins(spark):
         spark, "/root/testdata/sf0.001"
     ))
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_exif_scrub_single_udf_no_decode(spark):
+    """scrub_image_metadata is ONE Arrow-batched python node over a
+    projected 3-column input — no second UDF, no join, no shuffle: the
+    metadata pass must stay a pure scan-rewrite at any scale."""
+    from pii_redactor_spark.operators.vision import scrub_image_metadata
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"\xff\xd8\xff\xd9"), "jpeg", 0)],
+        "image_id string, bytes binary, fmt string, phash long",
+    )
+    plan = _plan(scrub_image_metadata(df))
+    import re
+
+    # formatted explain prints each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_round5_tpch_shapes_plan_pins(spark):
+    """Q16/Q20/source-axis shapes: hash joins only; the Q16 distinct
+    count is two-phase (partial_count(distinct ...) appears under a
+    second aggregate level, i.e. >= 3 HashAggregates)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("supplier_count_by_part", "dominant_part_suppliers",
+                 "source_overlap_pairs"):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = _plan(qs["supplier_count_by_part"](
+        spark, "/root/testdata/sf0.001"
+    ))
+    assert plan.count("HashAggregate") >= 3, plan
