@@ -341,6 +341,57 @@ def orientation_of(jpeg: bytes) -> int:
     return int(tag.values[0]) if tag and tag.values else 1
 
 
+def _fresh_report() -> dict:
+    return {
+        "had_exif": False,
+        "had_gps": False,
+        "had_thumbnail": False,
+        "orientation": 1,
+        "removed": [],
+    }
+
+
+def _scrub_tiff_payload(
+    tiff: bytes,
+    report: dict,
+    *,
+    strip_device: bool,
+    strip_timestamps: bool,
+) -> bytes:
+    """Parse one Exif TIFF payload, drop the PII tag classes into
+    ``report``, and return the rebuilt canonical stream.  Shared by the
+    JPEG APP1, PNG ``eXIf``, and WebP ``EXIF`` carriers."""
+    parsed = parse_tiff(tiff)
+    report["had_exif"] = True
+    if parsed["gps"]:
+        report["had_gps"] = True
+        report["removed"].append("GPS")
+    if parsed["ifd1"] or parsed["thumbnail"] is not None:
+        report["had_thumbnail"] = True
+        report["removed"].append("Thumbnail")
+    o = parsed["ifd0"].get(TAG_ORIENTATION)
+    if o and o.values:
+        report["orientation"] = int(o.values[0])
+    drop0 = dict(PII_TAGS_IFD0)
+    drop1 = dict(PII_TAGS_EXIF)
+    if strip_device:
+        drop0.update({TAG_MAKE: "Make", TAG_MODEL: "Model"})
+        drop1.update({0xA433: "LensMake", 0xA434: "LensModel"})
+    if strip_timestamps:
+        drop0[0x0132] = "DateTime"
+        drop1.update(
+            {0x9003: "DateTimeOriginal", 0x9004: "DateTimeDigitized"}
+        )
+    for ifd, dropmap in (("ifd0", drop0), ("exif", drop1)):
+        for tid, name in sorted(dropmap.items()):
+            if tid in parsed[ifd]:
+                del parsed[ifd][tid]
+                report["removed"].append(name)
+    return build_tiff(
+        {"ifd0": parsed["ifd0"], "exif": parsed["exif"], "gps": {}}
+    )
+
+
 def scrub_exif(
     jpeg: bytes,
     *,
@@ -361,50 +412,17 @@ def scrub_exif(
 
     -> (scrubbed bytes, report dict).
     """
-    report = {
-        "had_exif": False,
-        "had_gps": False,
-        "had_thumbnail": False,
-        "orientation": 1,
-        "removed": [],
-    }
+    report = _fresh_report()
     out = bytearray()
     consumed = 0
     for marker, s, e in iter_segments(jpeg):
         if marker == 0xE1 and jpeg[s + 4 : s + 10] == _EXIF_PREFIX:
-            parsed = parse_tiff(jpeg[s + 10 : e])
-            report["had_exif"] = True
-            if parsed["gps"]:
-                report["had_gps"] = True
-                report["removed"].append("GPS")
-            if parsed["ifd1"] or parsed["thumbnail"] is not None:
-                report["had_thumbnail"] = True
-                report["removed"].append("Thumbnail")
-            o = parsed["ifd0"].get(TAG_ORIENTATION)
-            if o and o.values:
-                report["orientation"] = int(o.values[0])
-            drop0 = dict(PII_TAGS_IFD0)
-            drop1 = dict(PII_TAGS_EXIF)
-            if strip_device:
-                drop0.update({TAG_MAKE: "Make", TAG_MODEL: "Model"})
-                drop1.update({0xA433: "LensMake", 0xA434: "LensModel"})
-            if strip_timestamps:
-                drop0[0x0132] = "DateTime"
-                drop1.update(
-                    {0x9003: "DateTimeOriginal", 0x9004: "DateTimeDigitized"}
-                )
-            for ifd, dropmap in (("ifd0", drop0), ("exif", drop1)):
-                for tid, name in sorted(dropmap.items()):
-                    if tid in parsed[ifd]:
-                        del parsed[ifd][tid]
-                        report["removed"].append(name)
-            clean = {
-                "ifd0": parsed["ifd0"],
-                "exif": parsed["exif"],
-                "gps": {},
-            }
+            tiff = _scrub_tiff_payload(
+                jpeg[s + 10 : e], report,
+                strip_device=strip_device,
+                strip_timestamps=strip_timestamps,
+            )
             out += jpeg[consumed:s]
-            tiff = build_tiff(clean)
             payload = _EXIF_PREFIX + tiff
             out += struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2)
             out += payload
@@ -416,6 +434,192 @@ def scrub_exif(
             out += jpeg[consumed:s]
             consumed = e
     out += jpeg[consumed:]
+    return bytes(out), report
+
+
+# ---------------------------------------------------------------------------
+# PNG / WebP / GIF metadata carriers (container-level PII scrub)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_TEXT_CHUNKS = (b"tEXt", b"zTXt", b"iTXt")
+
+
+def scrub_png_metadata(
+    png: bytes,
+    *,
+    strip_device: bool = False,
+    strip_timestamps: bool = False,
+) -> tuple[bytes, dict]:
+    """Strip PII metadata chunks from a PNG byte stream.
+
+    Dropped wholesale: ``tEXt``/``zTXt``/``iTXt`` (free-text key-value
+    pairs — author, comment, GPS-in-text, XMP rides ``iTXt``).  The
+    ``eXIf`` chunk (PNG 1.5 extension: a whole Exif TIFF) is scrubbed
+    through the shared TIFF path and REBUILT, so orientation survives;
+    an unparseable ``eXIf`` is dropped wholesale.  Pixel chunks (IHDR /
+    PLTE / IDAT / IEND / everything else) are copied verbatim with
+    their original CRCs — decoded pixels byte-identical.
+    """
+    import zlib
+
+    if png[:8] != _PNG_SIG:
+        raise ValueError("exif: not a PNG (signature missing)")
+    report = _fresh_report()
+    out = bytearray(png[:8])
+    pos = 8
+    while pos < len(png):
+        if pos + 8 > len(png):
+            raise ValueError("exif: truncated PNG chunk header")
+        (ln,) = struct.unpack_from(">I", png, pos)
+        typ = png[pos + 4 : pos + 8]
+        end = pos + 8 + ln + 4
+        if end > len(png):
+            raise ValueError("exif: truncated PNG chunk")
+        if typ in _PNG_TEXT_CHUNKS:
+            report["removed"].append(typ.decode("ascii"))
+        elif typ == b"eXIf":
+            try:
+                tiff = _scrub_tiff_payload(
+                    png[pos + 8 : pos + 8 + ln], report,
+                    strip_device=strip_device,
+                    strip_timestamps=strip_timestamps,
+                )
+                out += struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+                out += struct.pack(">I", zlib.crc32(b"eXIf" + tiff))
+            except ValueError:
+                report["removed"].append("eXIf")
+        else:
+            out += png[pos:end]
+        pos = end
+        if typ == b"IEND":
+            out += png[pos:]  # trailing bytes, copied verbatim
+            break
+    return bytes(out), report
+
+
+_RIFF = b"RIFF"
+_WEBP = b"WEBP"
+
+
+def scrub_webp_metadata(
+    webp: bytes,
+    *,
+    strip_device: bool = False,
+    strip_timestamps: bool = False,
+) -> tuple[bytes, dict]:
+    """Strip the ``EXIF`` and ``XMP `` chunks from a WebP RIFF container.
+
+    The EXIF payload (raw TIFF, optionally ``Exif\\0\\0``-prefixed) is
+    parsed through the shared path for the report (GPS presence,
+    orientation) but the chunk is DROPPED, not rebuilt — WebP viewers
+    ignore orientation anyway and the rebuilt chunk would only re-grow
+    the container.  The VP8X feature-flags byte has its EXIF (0x08) and
+    XMP (0x04) bits cleared; the RIFF size field is recomputed.  Image
+    chunks (VP8L/VP8/ALPH/ANIM/ANMF/ICCP) are copied verbatim.
+    """
+    if webp[:4] != _RIFF or webp[8:12] != _WEBP:
+        raise ValueError("exif: not a WebP (RIFF/WEBP header missing)")
+    report = _fresh_report()
+    body = bytearray()
+    pos = 12
+    vp8x_at = None
+    while pos + 8 <= len(webp):
+        tag = webp[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", webp, pos + 4)
+        end = pos + 8 + size + (size & 1)
+        if pos + 8 + size > len(webp):
+            raise ValueError("exif: truncated WebP chunk")
+        if tag == b"EXIF":
+            payload = webp[pos + 8 : pos + 8 + size]
+            if payload[:6] == _EXIF_PREFIX:
+                payload = payload[6:]
+            try:
+                _scrub_tiff_payload(
+                    payload, report,
+                    strip_device=strip_device,
+                    strip_timestamps=strip_timestamps,
+                )
+            except ValueError:
+                report["had_exif"] = True
+            if "EXIF" not in report["removed"]:
+                report["removed"].append("EXIF")
+        elif tag == b"XMP ":
+            report["removed"].append("XMP")
+        else:
+            if tag == b"VP8X" and size >= 1:
+                vp8x_at = len(body) + 8
+            body += webp[pos:end]
+        pos = end
+    if vp8x_at is not None:
+        body[vp8x_at] &= ~0x0C  # clear EXIF (0x08) + XMP (0x04) flags
+    out = _RIFF + struct.pack("<I", 4 + len(body)) + _WEBP + bytes(body)
+    return out, report
+
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def scrub_gif_metadata(gif: bytes) -> tuple[bytes, dict]:
+    """Strip comment extensions (0x21 0xFE — free text: author, tool,
+    location notes) and the XMP application extension (``XMP DataXMP``
+    — its payload survives GIF sub-block framing via the spec's
+    magic-trailer hack, so the generic sub-block walk skips it
+    correctly) from a GIF stream.  NETSCAPE2.0 (loop control), graphic
+    control, plain-text, and all image blocks are copied verbatim.
+    """
+    from .gif import _skip_subblocks
+
+    if gif[:6] not in _GIF_SIGS:
+        raise ValueError("exif: not a GIF")
+    report = _fresh_report()
+    if len(gif) < 13:
+        raise ValueError("exif: truncated GIF header")
+    pos = 13
+    packed = gif[10]
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    out = bytearray(gif[:pos])
+    try:
+        while True:
+            if pos >= len(gif):
+                raise ValueError("exif: truncated GIF (no trailer)")
+            block = gif[pos]
+            if block == 0x3B:  # trailer
+                out += gif[pos:]
+                break
+            if block == 0x21:
+                label = gif[pos + 1]
+                if label == 0xFE:
+                    end = _skip_subblocks(gif, pos + 2)
+                    report["removed"].append("Comment")
+                    pos = end
+                    continue
+                if label == 0xFF:
+                    app_id = gif[pos + 3 : pos + 14]
+                    end = _skip_subblocks(gif, pos + 2)
+                    if app_id == b"XMP DataXMP":
+                        report["removed"].append("XMP")
+                        pos = end
+                        continue
+                    out += gif[pos:end]
+                    pos = end
+                    continue
+                end = _skip_subblocks(gif, pos + 2)
+                out += gif[pos:end]
+                pos = end
+                continue
+            if block != 0x2C:
+                raise ValueError(f"exif: unknown GIF block 0x{block:02x}")
+            # image descriptor + optional local color table + LZW data
+            ipacked = gif[pos + 9]
+            seg = pos + 10
+            if ipacked & 0x80:
+                seg += 3 * (2 << (ipacked & 0x07))
+            end = _skip_subblocks(gif, seg + 1)
+            out += gif[pos:end]
+            pos = end
+    except IndexError:
+        raise ValueError("exif: truncated GIF block") from None
     return bytes(out), report
 
 

@@ -181,13 +181,20 @@ def scrub_image_metadata(
     Pure byte-stream surgery via ``fixtures/exif.py``: the entropy-coded
     pixel data is copied verbatim, so decoded pixels are byte-identical
     and the stage never runs a DCT — at 10^12 images this is a pure
-    scan-rewrite pass whose cost is I/O, not compute.  Non-JPEG rows
-    pass through untouched (``flag = 'not_jpeg'``: PNG/GIF/WebP carry
-    no Exif in this engine's corpus); undecodable streams keep their
-    original bytes with ``flag = 'corrupt'`` instead of killing the
-    stage.
+    scan-rewrite pass whose cost is I/O, not compute.  All four corpus
+    containers are covered: JPEG (APP1 Exif rebuild + XMP drop), PNG
+    (tEXt/zTXt/iTXt drop, eXIf scrub-and-rebuild), WebP (EXIF/XMP chunk
+    drop + VP8X flag clear), GIF (comment + XMP application extension
+    drop).  Unknown formats pass through with ``flag =
+    'unsupported_fmt'``; undecodable streams keep their original bytes
+    with ``flag = 'corrupt'`` instead of killing the stage.
     """
-    from ..fixtures.exif import scrub_exif
+    from ..fixtures.exif import (
+        scrub_exif,
+        scrub_gif_metadata,
+        scrub_png_metadata,
+        scrub_webp_metadata,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,16 +203,31 @@ def scrub_image_metadata(
                 pdf["image_id"], pdf["bytes"], pdf["fmt"]
             ):
                 data = bytes(data)
-                if fmt != "jpeg":
-                    out.append((iid, data, fmt, False, False, False,
-                                1, "", "not_jpeg"))
-                    continue
                 try:
-                    clean, rep = scrub_exif(
-                        data,
-                        strip_device=strip_device,
-                        strip_timestamps=strip_timestamps,
-                    )
+                    if fmt == "jpeg":
+                        clean, rep = scrub_exif(
+                            data,
+                            strip_device=strip_device,
+                            strip_timestamps=strip_timestamps,
+                        )
+                    elif fmt == "png":
+                        clean, rep = scrub_png_metadata(
+                            data,
+                            strip_device=strip_device,
+                            strip_timestamps=strip_timestamps,
+                        )
+                    elif fmt == "webp":
+                        clean, rep = scrub_webp_metadata(
+                            data,
+                            strip_device=strip_device,
+                            strip_timestamps=strip_timestamps,
+                        )
+                    elif fmt == "gif":
+                        clean, rep = scrub_gif_metadata(data)
+                    else:
+                        out.append((iid, data, fmt, False, False, False,
+                                    1, "", "unsupported_fmt"))
+                        continue
                 except ValueError:
                     out.append((iid, data, fmt, None, None, None,
                                 None, None, "corrupt"))

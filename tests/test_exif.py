@@ -300,17 +300,131 @@ def test_normalize_orientation_hand_case():
 
 
 # ---------------------------------------------------------------------------
+# PNG / WebP / GIF carriers
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload)))
+
+
+def test_scrub_png_text_and_exif_chunk():
+    from pii_redactor_spark.fixtures.codecs import decode_png, encode_png
+
+    png = encode_png(_px())
+    tiff = E.build_tiff(_full_ifds(orientation=3))
+    # splice tEXt + iTXt + eXIf right after IHDR (sig 8 + IHDR 25)
+    cut = 8 + 25
+    tagged = (png[:cut]
+              + _png_chunk(b"tEXt", b"Author\x00Jane Photographer")
+              + _png_chunk(b"iTXt", b"XML:com.adobe.xmp\x00\x00\x00\x00\x00<x/>")
+              + _png_chunk(b"eXIf", tiff)
+              + png[cut:])
+    clean, rep = E.scrub_png_metadata(tagged)
+    assert rep["had_exif"] and rep["had_gps"] and rep["orientation"] == 3
+    for name in ("tEXt", "iTXt", "GPS", "Artist", "BodySerialNumber"):
+        assert name in rep["removed"], name
+    assert b"Jane Photographer" not in clean
+    assert b"eXIf" in clean  # scrubbed-and-rebuilt, orientation survives
+    assert np.array_equal(decode_png(clean), decode_png(png))
+    # idempotent, and a plain PNG is untouched
+    again, rep2 = E.scrub_png_metadata(clean)
+    assert again == clean and not rep2["had_gps"]
+    same, rep3 = E.scrub_png_metadata(png)
+    assert same == png and rep3["removed"] == []
+
+
+def test_scrub_png_poison():
+    with pytest.raises(ValueError):
+        E.scrub_png_metadata(b"not a png")
+    from pii_redactor_spark.fixtures.codecs import encode_png
+
+    png = encode_png(_px())
+    with pytest.raises(ValueError):
+        E.scrub_png_metadata(png[:20])  # truncated chunk
+
+
+def test_scrub_webp_exif_xmp_chunks():
+    from pii_redactor_spark.fixtures.webp import decode_webp, encode_webp
+
+    wp = encode_webp(_px())
+    tiff = E.build_tiff(_full_ifds(orientation=6))
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    # rebuild container: VP8X (EXIF+XMP flags set) + image chunks + metadata
+    h, w = _px().shape[:2]
+    vp8x = struct.pack("<B3s", 0x0C, b"\x00\x00\x00")
+    vp8x += struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    body = (chunk(b"VP8X", vp8x) + wp[12:]
+            + chunk(b"EXIF", b"Exif\x00\x00" + tiff)
+            + chunk(b"XMP ", b"<x:xmpmeta gps='40.7,-73.9'/>"))
+    tagged = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    clean, rep = E.scrub_webp_metadata(tagged)
+    assert rep["had_exif"] and rep["had_gps"] and rep["orientation"] == 6
+    assert "EXIF" in rep["removed"] and "XMP" in rep["removed"]
+    assert b"xmpmeta" not in clean and b"Exif\x00\x00" not in clean
+    # VP8X flags cleared, RIFF size consistent, pixels identical
+    vp8x_off = clean.index(b"VP8X") + 8
+    assert clean[vp8x_off] & 0x0C == 0
+    assert struct.unpack("<I", clean[4:8])[0] == len(clean) - 8
+    assert np.array_equal(decode_webp(clean), decode_webp(wp))
+    again, rep2 = E.scrub_webp_metadata(clean)
+    assert again == clean and rep2["removed"] == []
+    with pytest.raises(ValueError):
+        E.scrub_webp_metadata(b"RIFFxxxxNOPE")
+
+
+def test_scrub_gif_comment_and_xmp():
+    from pii_redactor_spark.fixtures.gif import decode_gif, encode_gif
+
+    gf = encode_gif(_px())
+    # comment extension + XMP application extension + NETSCAPE (kept),
+    # spliced right after header + GCT, before the image descriptor
+    packed = gf[10]
+    hdr_end = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+    comment = b"\x21\xfe" + bytes([25]) + b"shot by Jane at the cabin" + b"\x00"
+    xmp_payload = b"<x:xmpmeta gps='40.7'/>"
+    # magic trailer: 0x01 then 255..0 descending (spec hack) — makes the
+    # generic sub-block walk terminate correctly
+    trailer = b"\x01" + bytes(range(255, -1, -1))
+    xmp = b"\x21\xff\x0bXMP DataXMP" + xmp_payload + trailer + b"\x00"
+    netscape = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    tagged = gf[:hdr_end] + comment + xmp + netscape + gf[hdr_end:]
+    clean, rep = E.scrub_gif_metadata(tagged)
+    assert "Comment" in rep["removed"] and "XMP" in rep["removed"]
+    assert b"Jane" not in clean and b"xmpmeta" not in clean
+    assert b"NETSCAPE2.0" in clean
+    assert np.array_equal(decode_gif(clean), decode_gif(gf))
+    again, rep2 = E.scrub_gif_metadata(clean)
+    assert again == clean and rep2["removed"] == []
+    with pytest.raises(ValueError):
+        E.scrub_gif_metadata(b"GIF89a\x00")
+
+
+# ---------------------------------------------------------------------------
 # Spark operator
 
 
 def test_scrub_image_metadata_spark(spark):
     from pii_redactor_spark.operators.vision import scrub_image_metadata
 
+    from pii_redactor_spark.fixtures.codecs import encode_png
+
     jp, jx = _tagged_jpeg()
+    png = encode_png(_px())
+    png_tagged = (png[:33]
+                  + _png_chunk(b"tEXt", b"Author\x00Jane")
+                  + png[33:])
     rows = [
         ("with_gps", bytearray(jx), "jpeg"),
         ("plain", bytearray(jp), "jpeg"),
-        ("png_row", bytearray(b"\x89PNG fake"), "png"),
+        ("png_row", bytearray(png_tagged), "png"),
+        ("bmp_row", bytearray(b"BM fake"), "bmp"),
         ("corrupt", bytearray(b"\xff\xd8\xff"), "jpeg"),
     ]
     df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
@@ -323,6 +437,9 @@ def test_scrub_image_metadata_spark(spark):
     assert np.array_equal(decode_jpeg(clean), decode_jpeg(jp))
     assert out["plain"]["flag"] == "ok" and not out["plain"]["had_exif"]
     assert bytes(out["plain"]["bytes"]) == jp
-    assert out["png_row"]["flag"] == "not_jpeg"
+    assert out["png_row"]["flag"] == "ok"
+    assert "tEXt" in out["png_row"]["removed"]
+    assert b"Jane" not in bytes(out["png_row"]["bytes"])
+    assert out["bmp_row"]["flag"] == "unsupported_fmt"
     assert out["corrupt"]["flag"] == "corrupt"
     assert bytes(out["corrupt"]["bytes"]) == b"\xff\xd8\xff"
