@@ -190,7 +190,7 @@ def _exif_scrub_split(spark, imgs, mix, rows) -> dict:
     marker = os.path.join(exif_dir, "_GEN_DONE")
     want = (
         hashlib.sha256(inspect.getsource(exif_mod).encode()).hexdigest()[:16]
-        + f":{rows}"
+        + f":v2:{rows}"
     )
     fresh = False
     try:
@@ -200,44 +200,80 @@ def _exif_scrub_split(spark, imgs, mix, rows) -> dict:
         pass
     if not fresh:
         def tag(batches):
+            import struct as _struct
+            import zlib as _zlib
+
             import pandas as pd
 
             E = exif_mod
+
+            def ifds_for(h):
+                return {
+                    "ifd0": {
+                        0x013B: E.ExifTag(
+                            0x013B, E.TYPE_ASCII, f"artist-{h % 97}"
+                        ),
+                        E.TAG_ORIENTATION: E.ExifTag(
+                            E.TAG_ORIENTATION, E.TYPE_SHORT, [1 + h % 8]
+                        ),
+                    },
+                    "exif": {
+                        0xA431: E.ExifTag(
+                            0xA431, E.TYPE_ASCII, f"SN-{h:08d}"
+                        ),
+                    },
+                    "gps": {
+                        1: E.ExifTag(1, E.TYPE_ASCII, "N"),
+                        2: E.ExifTag(
+                            2, E.TYPE_RATIONAL,
+                            [(h % 90, 1), (h % 60, 1), (h % 6000, 100)],
+                        ),
+                    },
+                }
+
             for pdf in batches:
                 recs = []
                 for iid, data, fmt in zip(
                     pdf["image_id"], pdf["bytes"], pdf["fmt"]
                 ):
                     data = bytes(data)
+                    h = int(
+                        hashlib.md5(str(iid).encode()).hexdigest()[:8], 16
+                    )
+                    # every container gets its native PII carrier: APP1
+                    # for JPEG, eXIf chunk for PNG, EXIF RIFF chunk for
+                    # WebP, a comment extension for GIF
                     if fmt == "jpeg":
-                        h = int(
-                            hashlib.md5(str(iid).encode()).hexdigest()[:8],
-                            16,
+                        data = E.insert_exif(data, ifds_for(h))
+                    elif fmt == "png":
+                        tiff = E.build_tiff(ifds_for(h))
+                        chunk = (
+                            _struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+                            + _struct.pack(
+                                ">I", _zlib.crc32(b"eXIf" + tiff)
+                            )
                         )
-                        ifds = {
-                            "ifd0": {
-                                0x013B: E.ExifTag(
-                                    0x013B, E.TYPE_ASCII, f"artist-{h % 97}"
-                                ),
-                                E.TAG_ORIENTATION: E.ExifTag(
-                                    E.TAG_ORIENTATION, E.TYPE_SHORT,
-                                    [1 + h % 8],
-                                ),
-                            },
-                            "exif": {
-                                0xA431: E.ExifTag(
-                                    0xA431, E.TYPE_ASCII, f"SN-{h:08d}"
-                                ),
-                            },
-                            "gps": {
-                                1: E.ExifTag(1, E.TYPE_ASCII, "N"),
-                                2: E.ExifTag(
-                                    2, E.TYPE_RATIONAL,
-                                    [(h % 90, 1), (h % 60, 1), (h % 6000, 100)],
-                                ),
-                            },
-                        }
-                        data = E.insert_exif(data, ifds)
+                        data = data[:33] + chunk + data[33:]
+                    elif fmt == "webp":
+                        tiff = b"Exif\x00\x00" + E.build_tiff(ifds_for(h))
+                        pad = b"\x00" if len(tiff) & 1 else b""
+                        body = (
+                            data[12:] + b"EXIF"
+                            + _struct.pack("<I", len(tiff)) + tiff + pad
+                        )
+                        data = (b"RIFF"
+                                + _struct.pack("<I", 4 + len(body))
+                                + b"WEBP" + body)
+                    elif fmt == "gif":
+                        note = f"shot by artist-{h % 97}".encode()
+                        ext = (b"\x21\xfe" + bytes([len(note)]) + note
+                               + b"\x00")
+                        packed = data[10]
+                        cut = 13 + (
+                            3 * (2 << (packed & 0x07))
+                            if packed & 0x80 else 0
+                        )
+                        data = data[:cut] + ext + data[cut:]
                     recs.append((iid, data, fmt))
                 yield pd.DataFrame(
                     recs, columns=["image_id", "bytes", "fmt"]
@@ -258,15 +294,23 @@ def _exif_scrub_split(spark, imgs, mix, rows) -> dict:
     dt = time.perf_counter() - t0
     from pyspark.sql import functions as F
 
-    gps_found = (
-        scrub_image_metadata(tagged).where(F.col("had_gps")).count()
+    res = scrub_image_metadata(tagged)
+    counts = res.agg(
+        F.sum(F.col("had_gps").cast("long")).alias("gps"),
+        F.sum(
+            ((F.col("flag") == "ok") & (F.col("removed") != "")).cast("long")
+        ).alias("scrubbed"),
+    ).collect()[0]
+    gps_tagged = sum(
+        mix.get(f, 0) for f in ("jpeg", "png", "webp")
     )
     return {
         "n_images": rows,
         "sec": round(dt, 3),
         "images_per_sec": round(rows / dt, 1),
-        "jpeg_rows_tagged": mix.get("jpeg", 0),
-        "gps_found_and_removed": gps_found,
+        "gps_tagged_rows": gps_tagged,
+        "gps_found_and_removed": int(counts["gps"]),
+        "rows_with_metadata_removed": int(counts["scrubbed"]),
     }
 
 
