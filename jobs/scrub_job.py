@@ -70,7 +70,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--image-min-side", type=int, default=64)
     p.add_argument("--image-max-aspect", type=float, default=4.0)
     p.add_argument("--image-fmt-allow", default="png,jpeg")
+    # Image-metadata PII scrub (opt-in; materialize mode only — the one
+    # transform that must rewrite bytes)
+    p.add_argument("--scrub-image-metadata", action="store_true")
     args = p.parse_args(argv)
+    if args.scrub_image_metadata and args.mode != "materialize":
+        p.error("--scrub-image-metadata requires --mode materialize "
+                "(decisions mode never touches image bytes)")
 
     # Import AFTER spark-submit has placed --py-files on sys.path.
     from pyspark.sql import SparkSession
@@ -127,6 +133,7 @@ def main(argv: list[str] | None = None) -> None:
         ),
         toxicity=toxicity,
         image_quality=image_quality,
+        scrub_metadata=args.scrub_image_metadata,
     )
     summary["mode"] = args.mode
     summary["rows"] = summary["n_in"]

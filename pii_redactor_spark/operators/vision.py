@@ -250,6 +250,95 @@ def scrub_image_metadata(
     )
 
 
+META_SCRUB_STRUCT = (
+    "struct<bytes: binary, meta_had_gps: boolean, "
+    "meta_removed: string, meta_flag: string>"
+)
+
+
+def with_metadata_scrub(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    strip_device: bool = False,
+    strip_timestamps: bool = False,
+) -> DataFrame:
+    """Attach the metadata-PII scrub IN PLACE: replaces ``bytes_col``
+    with the scrubbed stream and adds ``meta_had_gps`` /
+    ``meta_removed`` / ``meta_flag``, passing every other column
+    through untouched.
+
+    One struct-returning iterator pandas UDF — no join back, no second
+    decode, no shuffle; the pipeline's materialize mode composes this
+    with the caption scrub as two ArrowEvalPython nodes over the same
+    narrow pass.  Corrupt streams keep their original bytes
+    (``meta_flag = 'corrupt'``); unknown formats pass through
+    (``'unsupported_fmt'``).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..fixtures.exif import (
+        scrub_exif,
+        scrub_gif_metadata,
+        scrub_png_metadata,
+        scrub_webp_metadata,
+    )
+
+    @pandas_udf(META_SCRUB_STRUCT)
+    def _scrub(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for blobs, fmts in batches:
+            recs = []
+            for data, fmt in zip(blobs, fmts):
+                data = bytes(data) if data is not None else b""
+                try:
+                    if fmt == "jpeg":
+                        clean, rep = scrub_exif(
+                            data, strip_device=strip_device,
+                            strip_timestamps=strip_timestamps,
+                        )
+                    elif fmt == "png":
+                        clean, rep = scrub_png_metadata(
+                            data, strip_device=strip_device,
+                            strip_timestamps=strip_timestamps,
+                        )
+                    elif fmt == "webp":
+                        clean, rep = scrub_webp_metadata(
+                            data, strip_device=strip_device,
+                            strip_timestamps=strip_timestamps,
+                        )
+                    elif fmt == "gif":
+                        clean, rep = scrub_gif_metadata(data)
+                    else:
+                        recs.append((data, False, "", "unsupported_fmt"))
+                        continue
+                except ValueError:
+                    recs.append((data, None, None, "corrupt"))
+                    continue
+                recs.append((
+                    clean, rep["had_gps"], ",".join(rep["removed"]), "ok",
+                ))
+            yield pd.DataFrame(
+                recs,
+                columns=["bytes", "meta_had_gps", "meta_removed",
+                         "meta_flag"],
+            )
+
+    scrubbed = df.withColumn(
+        "_meta", _scrub.asNondeterministic()(F.col(bytes_col),
+                                             F.col(fmt_col))
+    )
+    return (
+        scrubbed.withColumn(bytes_col, F.col("_meta.bytes"))
+        .withColumn("meta_had_gps", F.col("_meta.meta_had_gps"))
+        .withColumn("meta_removed", F.col("_meta.meta_removed"))
+        .withColumn("meta_flag", F.col("_meta.meta_flag"))
+        .drop("_meta")
+    )
+
+
 def verify_integrity(df_after: DataFrame, df_before: DataFrame,
                      min_psnr_db: float = 40.0) -> DataFrame:
     """The north-star image gate as a distributed operator: join the pipeline

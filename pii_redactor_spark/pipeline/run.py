@@ -134,12 +134,21 @@ def scrub_images(
     cfg: ScrubConfig = DEFAULT_SCRUB,
     toxicity: ToxicityConfig | None = None,
     image_quality: "ImageQualityConfig | None" = None,
+    scrub_metadata: bool = False,
 ) -> DataFrame:
     """Scrub transform: optional salted repartition, then the UDF stage.
 
     ``salt_partitions``: when set, repartition by (phash_prefix, salt) to
     break heavy-hitter buckets before the CPU-bound UDF.  At cluster scale
     pick ~4x executor-cores; leave None for the shuffle-free narrow plan.
+
+    ``scrub_metadata=True`` additionally rewrites the image BYTES through
+    the metadata-PII scrub (Exif GPS/serials/owner, PNG text chunks,
+    WebP EXIF/XMP, GIF comments — ``operators/vision.py::
+    with_metadata_scrub``).  Materialize-mode only by design: it is the
+    one transform that must touch bytes, and decisions mode exists
+    precisely to never do that — pair a decisions run with a later
+    bytes pass over kept partitions instead.
     """
     if salt_partitions:
         df = df.repartition(
@@ -147,6 +156,10 @@ def scrub_images(
             F.col("phash_prefix"),
             (F.rand(seed) * 16).cast("int"),
         )
+    if scrub_metadata:
+        from ..operators.vision import with_metadata_scrub
+
+        df = with_metadata_scrub(df)
     scrubbed = apply_toxicity(with_scrub(df, cfg=cfg), toxicity)
     scrubbed = apply_image_quality(scrubbed, image_quality)
     return scrubbed.withColumn("n_entities", F.size("entities"))
@@ -214,6 +227,7 @@ def run_pipeline(
     scrub_cfg: ScrubConfig = DEFAULT_SCRUB,
     toxicity: ToxicityConfig | None = None,
     image_quality: "ImageQualityConfig | None" = None,
+    scrub_metadata: bool = False,
 ) -> dict:
     """Resumable batch run.  Returns summary counters.
 
@@ -222,7 +236,16 @@ def run_pipeline(
     decisions-only transform (bytes never read, never written) — resumable
     AND pixel-free, per the north rule.  ``fail_after_groups`` injects a
     crash after N committed groups (for the resume test, FIXTURES.md §4).
+
+    ``scrub_metadata=True`` (materialize mode only — raises otherwise)
+    rewrites image bytes through the metadata-PII scrub in the same
+    partition-committed loop.
     """
+    if scrub_metadata and not materialize_bytes:
+        raise ValueError(
+            "scrub_metadata requires materialize_bytes=True: decisions "
+            "mode never reads or writes image bytes by contract"
+        )
     run_id = run_id or uuid.uuid4().hex[:12]
     data_path = f"{out_dir}/data"
     metrics_path = f"{out_dir}/metrics"
@@ -246,7 +269,8 @@ def run_pipeline(
         if materialize_bytes:
             result = scrub_images(part, salt_partitions=salt_partitions,
                                   cfg=scrub_cfg, toxicity=toxicity,
-                                  image_quality=image_quality)
+                                  image_quality=image_quality,
+                                  scrub_metadata=scrub_metadata)
             out = (
                 result.withColumn("caption_raw", F.col("caption"))
                 .withColumn("caption", F.col("scrubbed"))

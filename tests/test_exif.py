@@ -443,3 +443,63 @@ def test_scrub_image_metadata_spark(spark):
     assert out["bmp_row"]["flag"] == "unsupported_fmt"
     assert out["corrupt"]["flag"] == "corrupt"
     assert bytes(out["corrupt"]["bytes"]) == b"\xff\xd8\xff"
+
+
+def test_with_metadata_scrub_in_place(spark):
+    from pii_redactor_spark.operators.vision import with_metadata_scrub
+
+    jp, jx = _tagged_jpeg()
+    df = spark.createDataFrame(
+        [("a", bytearray(jx), "jpeg", "a cat", 7),
+         ("b", bytearray(jp), "jpeg", "a dog", 8)],
+        "image_id string, bytes binary, fmt string, caption string, "
+        "phash long",
+    )
+    out = {r["image_id"]: r for r in with_metadata_scrub(df).collect()}
+    # in-place: bytes column replaced, every other column passed through
+    assert out["a"]["caption"] == "a cat" and out["a"]["phash"] == 7
+    assert out["a"]["meta_had_gps"] and "GPS" in out["a"]["meta_removed"]
+    assert E.extract_exif(bytes(out["a"]["bytes"]))["gps"] == {}
+    assert np.array_equal(
+        decode_jpeg(bytes(out["a"]["bytes"])), decode_jpeg(jp)
+    )
+    assert bytes(out["b"]["bytes"]) == jp and not out["b"]["meta_had_gps"]
+
+
+def test_pipeline_materialize_scrubs_metadata(spark, tmp_root):
+    from pii_redactor_spark.fixtures.codecs import phash64, phash_prefix
+    from pii_redactor_spark.pipeline.run import run_pipeline
+
+    jp, jx = _tagged_jpeg()
+    ph = phash64(_px())
+    rows = [
+        (f"img{i}", bytearray(jx if i % 2 else jp), 24, 16, "jpeg",
+         f"caption {i} with email a{i}@example.com", ph, phash_prefix(ph))
+        for i in range(8)
+    ]
+    src = f"{tmp_root}/exif_pipe_src"
+    spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, phash_prefix int",
+    ).write.mode("overwrite").parquet(src)
+    out = f"{tmp_root}/exif_pipe_out"
+    summary = run_pipeline(
+        spark, src, out, materialize_bytes=True, scrub_metadata=True
+    )
+    assert summary["n_in"] == 8
+    data = spark.read.parquet(f"{out}/data")
+    got = {r["image_id"]: r for r in data.collect()}
+    for i in range(8):
+        b = bytes(got[f"img{i}"]["bytes"])
+        parsed = E.extract_exif(b)
+        if i % 2:
+            assert got[f"img{i}"]["meta_had_gps"]
+            assert parsed is not None and parsed["gps"] == {}
+        else:
+            assert parsed is None
+        assert np.array_equal(decode_jpeg(b), decode_jpeg(jp))
+    # decisions mode refuses by contract
+    with pytest.raises(ValueError, match="materialize"):
+        run_pipeline(spark, src, f"{tmp_root}/exif_pipe_bad",
+                     materialize_bytes=False, scrub_metadata=True)

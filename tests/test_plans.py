@@ -339,3 +339,23 @@ def test_round5_tpch_shapes_plan_pins(spark):
         spark, "/root/testdata/sf0.001"
     ))
     assert plan.count("HashAggregate") >= 3, plan
+
+
+def test_materialize_with_metadata_scrub_two_udf_nodes(spark):
+    """scrub_images(scrub_metadata=True) composes the caption scrub and
+    the metadata scrub as exactly TWO python nodes (one ArrowEvalPython
+    each), with no shuffle between them — one narrow pass over the
+    partition."""
+    import re
+
+    from pii_redactor_spark.pipeline.run import scrub_images
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"\xff\xd8\xff\xd9"), 2, 2, "jpeg",
+          "cap", 0, 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, phash_prefix int",
+    )
+    plan = _plan(scrub_images(df, scrub_metadata=True))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan
+    assert "Exchange" not in plan, plan
