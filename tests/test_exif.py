@@ -503,3 +503,15 @@ def test_pipeline_materialize_scrubs_metadata(spark, tmp_root):
     with pytest.raises(ValueError, match="materialize"):
         run_pipeline(spark, src, f"{tmp_root}/exif_pipe_bad",
                      materialize_bytes=False, scrub_metadata=True)
+
+
+def test_scrub_exif_progressive_jpeg():
+    # Progressive streams carry MULTIPLE SOS segments; the walker stops
+    # at the first and copies the remaining scan sequence verbatim, so
+    # the scrub must leave a multi-scan file decodable and bit-identical.
+    jp = encode_jpeg(_px(), quality=90, progressive=True)
+    jx = E.insert_exif(jp, _full_ifds(orientation=8))
+    clean, rep = E.scrub_exif(jx)
+    assert rep["had_gps"] and rep["orientation"] == 8
+    assert E.extract_exif(clean)["gps"] == {}
+    assert np.array_equal(decode_jpeg(clean), decode_jpeg(jp))
