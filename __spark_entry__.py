@@ -4438,7 +4438,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s_suppkey, s_name,
                    COUNT(*) AS n_parts_dominated,
-                   SUM(_q) AS dominated_qty
+                   -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas
+                   -- Decimal, which the strict-typed compare rejects
+                   CAST(SUM(_q) AS BIGINT) AS dominated_qty
             FROM dom
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE 2 * _q > _tq
