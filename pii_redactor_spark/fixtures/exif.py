@@ -34,11 +34,16 @@ TYPE_ASCII = 2
 TYPE_SHORT = 3
 TYPE_LONG = 4
 TYPE_RATIONAL = 5
+TYPE_SBYTE = 6
 TYPE_UNDEFINED = 7
+TYPE_SSHORT = 8
 TYPE_SLONG = 9
 TYPE_SRATIONAL = 10
+TYPE_FLOAT = 11
+TYPE_DOUBLE = 12
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
 
 # Pointer tags (IFD0 -> sub-IFDs).
 TAG_EXIF_IFD = 0x8769
@@ -106,6 +111,14 @@ def _decode_values(type_: int, count: int, raw: bytes, endian: str):
         return list(struct.unpack(f"{endian}{count}I", raw[: 4 * count]))
     if type_ == TYPE_SLONG:
         return list(struct.unpack(f"{endian}{count}i", raw[: 4 * count]))
+    if type_ == TYPE_SBYTE:
+        return list(struct.unpack(f"{endian}{count}b", raw[:count]))
+    if type_ == TYPE_SSHORT:
+        return list(struct.unpack(f"{endian}{count}h", raw[: 2 * count]))
+    if type_ == TYPE_FLOAT:
+        return list(struct.unpack(f"{endian}{count}f", raw[: 4 * count]))
+    if type_ == TYPE_DOUBLE:
+        return list(struct.unpack(f"{endian}{count}d", raw[: 8 * count]))
     if type_ == TYPE_RATIONAL:
         flat = struct.unpack(f"{endian}{2 * count}I", raw[: 8 * count])
         return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
@@ -129,6 +142,14 @@ def _encode_values(tag: ExifTag) -> tuple[int, bytes]:
         return len(v), struct.pack(f"<{len(v)}I", *v)
     if t == TYPE_SLONG:
         return len(v), struct.pack(f"<{len(v)}i", *v)
+    if t == TYPE_SBYTE:
+        return len(v), struct.pack(f"<{len(v)}b", *v)
+    if t == TYPE_SSHORT:
+        return len(v), struct.pack(f"<{len(v)}h", *v)
+    if t == TYPE_FLOAT:
+        return len(v), struct.pack(f"<{len(v)}f", *v)
+    if t == TYPE_DOUBLE:
+        return len(v), struct.pack(f"<{len(v)}d", *v)
     if t == TYPE_RATIONAL:
         flat = [x for pair in v for x in pair]
         return len(v), struct.pack(f"<{len(flat)}I", *flat)

@@ -82,6 +82,10 @@ def test_build_parse_round_trip_all_types():
                 E.ExifTag(0x9997, E.TYPE_SLONG, [-5, 6]),
                 E.ExifTag(0x9996, E.TYPE_SRATIONAL, [(-1, 3)]),
                 E.ExifTag(0x9995, E.TYPE_RATIONAL, [(1, 2), (3, 4)]),
+                E.ExifTag(0x9994, E.TYPE_SBYTE, [-3, 4]),
+                E.ExifTag(0x9993, E.TYPE_SSHORT, [-300, 12]),
+                E.ExifTag(0x9992, E.TYPE_FLOAT, [0.5, -2.25]),
+                E.ExifTag(0x9991, E.TYPE_DOUBLE, [40.7437]),
             ]
         },
         "exif": {},
