@@ -519,3 +519,89 @@ def test_scrub_exif_progressive_jpeg():
     assert rep["had_gps"] and rep["orientation"] == 8
     assert E.extract_exif(clean)["gps"] == {}
     assert np.array_equal(decode_jpeg(clean), decode_jpeg(jp))
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary well-formed tag sets round-trip through build/parse
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _tag_strategy():
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=24,
+    )
+    u16 = st.integers(0, 0xFFFF)
+    u32 = st.integers(0, 0xFFFFFFFF)
+    i32 = st.integers(-(2**31), 2**31 - 1)
+    by_type = st.one_of(
+        st.tuples(st.just(E.TYPE_ASCII), ascii_text),
+        st.tuples(st.just(E.TYPE_BYTE),
+                  st.binary(min_size=1, max_size=12)),
+        st.tuples(st.just(E.TYPE_UNDEFINED),
+                  st.binary(min_size=1, max_size=12)),
+        st.tuples(st.just(E.TYPE_SHORT),
+                  st.lists(u16, min_size=1, max_size=6)),
+        st.tuples(st.just(E.TYPE_LONG),
+                  st.lists(u32, min_size=1, max_size=4)),
+        st.tuples(st.just(E.TYPE_SLONG),
+                  st.lists(i32, min_size=1, max_size=4)),
+        st.tuples(st.just(E.TYPE_SSHORT),
+                  st.lists(st.integers(-(2**15), 2**15 - 1),
+                           min_size=1, max_size=6)),
+        st.tuples(st.just(E.TYPE_SBYTE),
+                  st.lists(st.integers(-128, 127),
+                           min_size=1, max_size=8)),
+        st.tuples(st.just(E.TYPE_RATIONAL),
+                  st.lists(st.tuples(u32, u32), min_size=1, max_size=3)),
+        st.tuples(st.just(E.TYPE_SRATIONAL),
+                  st.lists(st.tuples(i32, i32), min_size=1, max_size=3)),
+        st.tuples(st.just(E.TYPE_DOUBLE),
+                  st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                                     width=64),
+                           min_size=1, max_size=3)),
+    )
+    # avoid the pointer tags (rebuilt from structure, not round-tripped)
+    tag_id = st.integers(1, 0xFFFF).filter(
+        lambda t: t not in (E.TAG_EXIF_IFD, E.TAG_GPS_IFD)
+    )
+    return st.tuples(tag_id, by_type)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ifd0=st.dictionaries(st.integers(1, 3), _tag_strategy(),
+                         min_size=0, max_size=6),
+    exif=st.dictionaries(st.integers(1, 3), _tag_strategy(),
+                         min_size=0, max_size=4),
+    gps=st.dictionaries(st.integers(1, 3), _tag_strategy(),
+                        min_size=0, max_size=4),
+)
+def test_build_parse_round_trip_property(ifd0, exif, gps):
+    def mk(d):
+        out = {}
+        for _, (tid, (typ, vals)) in d.items():
+            if typ == E.TYPE_BYTE or typ == E.TYPE_UNDEFINED:
+                vals = bytes(vals)
+            elif typ == E.TYPE_SBYTE or typ == E.TYPE_SSHORT:
+                vals = list(vals)
+            out[tid] = E.ExifTag(tid, typ, vals)
+        return out
+
+    ifds = {"ifd0": mk(ifd0), "exif": mk(exif), "gps": mk(gps)}
+    parsed = E.parse_tiff(E.build_tiff(ifds))
+    for key in ("ifd0", "exif", "gps"):
+        want = dict(ifds[key])
+        # the builder adds pointer tags to ifd0 when sub-IFDs exist;
+        # ignore them in the comparison
+        got = {
+            t: v for t, v in parsed[key].items()
+            if t not in (E.TAG_EXIF_IFD, E.TAG_GPS_IFD)
+        }
+        want = {
+            t: v for t, v in want.items()
+            if t not in (E.TAG_EXIF_IFD, E.TAG_GPS_IFD)
+        }
+        assert got == want, (key, got, want)
