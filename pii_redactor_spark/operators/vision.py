@@ -75,7 +75,7 @@ def _entropy(pixels: np.ndarray) -> float:
     return float(-(nz * np.log2(nz)).sum())
 
 
-def decode_stats(df: DataFrame) -> DataFrame:
+def decode_stats(df: DataFrame, apply_orientation: bool = False) -> DataFrame:
     """Per-image feature extraction: channel means, stddev, entropy, and a
     phash recomputation check against the stored ``phash`` column.
 
@@ -83,23 +83,37 @@ def decode_stats(df: DataFrame) -> DataFrame:
     can't be decoded in this environment come back ``decoded = false`` with
     null features instead of failing the job — at 10^12 rows a poison row
     must never kill the stage.
+
+    ``apply_orientation=True`` reports w/h/features in DISPLAY orientation
+    for JPEGs carrying an Exif orientation tag (a cheap marker walk, no
+    extra decode): cameras store sensor-order pixels, and an aspect-ratio
+    gate fed sensor w/h silently inverts for every portrait shot.  The
+    phash check stays on the raw decode — the stored phash contract is
+    encode-time pixels.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if apply_orientation:
+            from ..fixtures.exif import normalize_orientation, orientation_of
         for pdf in batches:
             out = []
             for iid, data, fmt, ph in zip(
                 pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["phash"]
             ):
                 try:
-                    px = decode_image(bytes(data), fmt)
+                    raw = decode_image(bytes(data), fmt)
+                    px = raw
+                    if apply_orientation and fmt == "jpeg":
+                        px = normalize_orientation(
+                            raw, orientation_of(bytes(data))
+                        )
                 except (NotImplementedError, ValueError):
                     out.append((iid, fmt, None, None, False,
                                 None, None, None, None, None, None, None))
                     continue
                 means = px.reshape(-1, 3).mean(axis=0)
                 dist = int(
-                    bin((phash64(px) ^ int(ph)) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    bin((phash64(raw) ^ int(ph)) & 0xFFFFFFFFFFFFFFFF).count("1")
                 )
                 tol = _LOSSY_PHASH_TOL if fmt != "png" else 0
                 out.append((

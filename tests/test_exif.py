@@ -605,3 +605,65 @@ def test_build_parse_round_trip_property(ifd0, exif, gps):
             if t not in (E.TAG_EXIF_IFD, E.TAG_GPS_IFD)
         }
         assert got == want, (key, got, want)
+
+
+def test_metadata_scrub_passes_integrity_gate(spark):
+    """Composition: the north-star differential-diff gate
+    (verify_integrity, A8) over a metadata-scrubbed table — every
+    container's scrubbed bytes must decode to the exact source pixels
+    (PSNR inf / allclose), proving the scrub touched only metadata."""
+    from pii_redactor_spark.fixtures.codecs import encode_png
+    from pii_redactor_spark.fixtures.gif import encode_gif
+    from pii_redactor_spark.fixtures.webp import encode_webp
+    from pii_redactor_spark.operators.vision import (
+        scrub_image_metadata,
+        verify_integrity,
+    )
+
+    _, jx = _tagged_jpeg()
+    png = encode_png(_px())
+    png_tagged = png[:33] + _png_chunk(b"tEXt", b"Author\x00Jane") + png[33:]
+    gf = encode_gif(_px())
+    note = b"\x21\xfe\x04Jane\x00"
+    packed = gf[10]
+    cut = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+    gif_tagged = gf[:cut] + note + gf[cut:]
+    wp = encode_webp(_px())
+    xmp = b"XMP " + struct.pack("<I", 4) + b"<x/>"
+    wp_tagged = (b"RIFF" + struct.pack("<I", 4 + len(wp[12:] + xmp))
+                 + b"WEBP" + wp[12:] + xmp)
+    rows = [
+        ("j", bytearray(jx), "jpeg"),
+        ("p", bytearray(png_tagged), "png"),
+        ("g", bytearray(gif_tagged), "gif"),
+        ("w", bytearray(wp_tagged), "webp"),
+    ]
+    src = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    scrubbed = scrub_image_metadata(src)
+    res = {r["image_id"]: r
+           for r in verify_integrity(scrubbed, src).collect()}
+    assert all(res[k]["ok"] for k in "jpgw"), res
+
+
+def test_decode_stats_apply_orientation(spark):
+    """Orientation 6 (stored 90deg CCW): display w/h must swap relative
+    to the sensor decode, channel means are rotation-invariant, and the
+    phash check (raw-decode contract) still passes."""
+    from pii_redactor_spark.fixtures.codecs import phash64
+    from pii_redactor_spark.operators.vision import decode_stats
+
+    jp = encode_jpeg(_px(h=16, w=24), quality=95)
+    jx = E.insert_exif(jp, _full_ifds(orientation=6))
+    ph = phash64(decode_jpeg(jp))
+    df = spark.createDataFrame(
+        [("r", bytearray(jx), "jpeg", ph)],
+        "image_id string, bytes binary, fmt string, phash long",
+    )
+    raw = decode_stats(df).collect()[0]
+    disp = decode_stats(df, apply_orientation=True).collect()[0]
+    assert (raw["w"], raw["h"]) == (24, 16)
+    assert (disp["w"], disp["h"]) == (16, 24)
+    assert abs(raw["mean_r"] - disp["mean_r"]) < 1e-9
+    assert disp["phash_check"]
